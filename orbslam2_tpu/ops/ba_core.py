@@ -1,0 +1,100 @@
+"""Shared reprojection residual/Jacobian machinery for all optimizers.
+
+TPU-native replacement for g2o's edge types
+(Thirdparty/g2o/g2o/types/types_six_dof_expmap.h): the mono edge
+`EdgeSE3ProjectXYZ` (:91), stereo edge `EdgeStereoSE3ProjectXYZ` (:147) and
+their pose-only variants (:210, :263) become one batched residual function
+with analytic Jacobians w.r.t. the left-multiplicative se(3) twist and the
+world point.
+
+Residuals are 3-vectors [du, dv, du_r]; the third row is masked off for
+monocular observations, which makes mono and stereo edges a single fused
+fixed-shape kernel (the reference keeps two g2o edge types).
+
+Robust weighting follows the reference: Huber delta sqrt(5.991) for mono,
+sqrt(7.815) for stereo (src/Optimizer.cpp:347-348), information = 1/sigma^2
+of the observation's octave (src/Optimizer.cpp:376-377).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+CHI2_MONO = 5.991
+CHI2_STEREO = 7.815
+HUBER_MONO = CHI2_MONO ** 0.5
+HUBER_STEREO = CHI2_STEREO ** 0.5
+
+
+def project_residual(T, pts_w, obs_uvr, is_stereo, fx, fy, cx, cy, bf):
+    """Batched reprojection residual.
+
+    T: [3, 4] world->cam; pts_w: [N, 3]; obs_uvr: [N, 3] = (u, v, u_right)
+    with u_right ignored when not is_stereo.
+    Returns (res [N, 3], pc [N, 3]) with res row 2 zeroed for mono obs.
+    """
+    R, t = T[..., :3], T[..., 3]
+    pc = pts_w @ R.T + t
+    z = pc[:, 2]
+    z_safe = jnp.where(jnp.abs(z) > 1e-6, z, 1e-6)
+    inv_z = 1.0 / z_safe
+    u = fx * pc[:, 0] * inv_z + cx
+    v = fy * pc[:, 1] * inv_z + cy
+    ur = u - bf * inv_z
+    res = jnp.stack(
+        [u - obs_uvr[:, 0], v - obs_uvr[:, 1],
+         jnp.where(is_stereo, ur - obs_uvr[:, 2], 0.0)], axis=-1
+    )
+    return res, pc
+
+
+def residual_jacobians(pc, is_stereo, fx, fy, bf):
+    """Analytic Jacobians of the [du, dv, du_r] residual.
+
+    pc: [N, 3] camera-frame points. Returns
+    (J_pose [N, 3, 6] w.r.t. left twist [v, w] of Tcw,
+     J_point_cam [N, 3, 3] w.r.t. the camera-frame point; chain with R for
+     the world-point Jacobian: J_point_world = J_point_cam @ R).
+    """
+    x, y, z = pc[:, 0], pc[:, 1], pc[:, 2]
+    z = jnp.where(jnp.abs(z) > 1e-6, z, 1e-6)
+    iz = 1.0 / z
+    iz2 = iz * iz
+    zero = jnp.zeros_like(x)
+    # d(residual)/d(pc)
+    r0 = jnp.stack([fx * iz, zero, -fx * x * iz2], -1)
+    r1 = jnp.stack([zero, fy * iz, -fy * y * iz2], -1)
+    r2 = jnp.stack(
+        [fx * iz, zero, -fx * x * iz2 + bf * iz2], -1
+    )
+    r2 = jnp.where(is_stereo[:, None], r2, 0.0)
+    J_pc = jnp.stack([r0, r1, r2], axis=1)  # [N, 3, 3]
+    # d(pc)/d(twist): pc' = exp(xi) pc => d/dv = I, d/dw = -[pc]x
+    skew = jnp.stack(
+        [
+            jnp.stack([zero, pc[:, 2], -pc[:, 1]], -1),
+            jnp.stack([-pc[:, 2], zero, pc[:, 0]], -1),
+            jnp.stack([pc[:, 1], -pc[:, 0], zero], -1),
+        ],
+        axis=1,
+    )  # [N, 3, 3] = -[pc]x
+    eye = jnp.broadcast_to(jnp.eye(3), skew.shape)
+    J_twist = jnp.concatenate([eye, skew], axis=-1)  # [N, 3, 6]
+    J_pose = J_pc @ J_twist
+    return J_pose, J_pc
+
+
+def chi2_and_weight(res, is_stereo, info, robust: bool):
+    """Per-observation chi2 and IRLS Huber weight.
+
+    res: [N, 3]; info: [N] (1/sigma^2). Returns (chi2 [N], w [N]).
+    """
+    sq = jnp.sum(res * res, axis=-1) * info
+    delta2 = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
+    if robust:
+        # Huber IRLS weight: 1 inside delta, delta/|r| outside
+        norm = jnp.sqrt(jnp.maximum(sq, 1e-12))
+        delta = jnp.sqrt(delta2)
+        w = jnp.where(norm <= delta, 1.0, delta / norm)
+    else:
+        w = jnp.ones_like(sq)
+    return sq, w
