@@ -9,5 +9,6 @@ batched Schur-complement bundle adjustment, and Sim(3) loop closure with
 pose-graph optimization.
 """
 from .config import Sensor, SlamConfig, OrbParams, load_settings  # noqa: F401
+from .system import System  # noqa: F401
 
 __version__ = "0.1.0"

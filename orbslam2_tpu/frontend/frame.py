@@ -1,0 +1,103 @@
+"""Per-frame feature container and construction.
+
+TPU-native Frame (src/Frame.cpp): construction runs the device extraction
+program, undistorts keypoints, and (for stereo/RGB-D) assigns depths. The
+64x48 acceleration grid (include/Frame.h:37-38) is unnecessary — candidate
+gating happens inside the dense masked matching kernels.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SlamConfig
+from ..geometry import camera as cam_mod
+from ..ops import features as F
+
+
+@dataclass
+class Frame:
+    frame_id: int
+    timestamp: float
+    xy: np.ndarray       # [N, 2] undistorted level-0 coords
+    xy_raw: np.ndarray   # [N, 2] raw pixel coords
+    octave: np.ndarray   # [N]
+    angle: np.ndarray    # [N]
+    response: np.ndarray
+    desc: np.ndarray     # [N, 8] uint32
+    valid: np.ndarray    # [N]
+    depth: np.ndarray    # [N] (-1 mono)
+    ur: np.ndarray       # [N] right-image u (-1 mono)
+    pose: np.ndarray | None = None        # [3, 4] Tcw
+    pt_idx: np.ndarray = field(default=None)  # [N] map point per feature (-1)
+
+    def __post_init__(self):
+        if self.pt_idx is None:
+            self.pt_idx = np.full(self.xy.shape[0], -1, np.int32)
+
+    @property
+    def capacity(self) -> int:
+        return self.xy.shape[0]
+
+    @property
+    def n_valid(self) -> int:
+        return int(self.valid.sum())
+
+
+class FrameBuilder:
+    """Builds Frames by dispatching the extraction program.
+
+    One builder per extractor configuration (the reference builds separate
+    ORBextractors for left/right/init, src/Tracking.cpp:141-149)."""
+
+    def __init__(self, cfg: SlamConfig, n_features: int | None = None):
+        self.cfg = cfg
+        orb = cfg.orb
+        if n_features is not None and n_features != orb.n_features:
+            from dataclasses import replace
+            orb = replace(orb, n_features=n_features)
+        self.orb = orb
+        self._next_id = 0
+
+    def build(self, img: np.ndarray, timestamp: float,
+              depth_map: np.ndarray | None = None,
+              right_img: np.ndarray | None = None) -> Frame:
+        h, w = img.shape
+        feats = F.extract_orb(jnp.asarray(img, jnp.float32), self.orb, h, w)
+        xy_raw = np.asarray(feats.xy)
+        und = np.asarray(cam_mod.undistort_pixels(self.cfg.camera, feats.xy))
+        n = xy_raw.shape[0]
+        depth = np.full(n, -1.0, np.float32)
+        ur = np.full(n, -1.0, np.float32)
+        if right_img is not None:
+            # stereo path: inputs must be rectified (reference requirement;
+            # EuRoC driver rectifies online, Examples/Stereo/stereo_EuRoC.cpp)
+            from .stereo import stereo_depths_for_frame
+            ur, depth = stereo_depths_for_frame(self.cfg, feats, right_img)
+        elif depth_map is not None:
+            # RGB-D: depth lookup at raw keypoint, virtual right coord
+            # (Frame::ComputeStereoFromRGBD, src/Frame.cpp:773-800)
+            xi = np.clip(xy_raw[:, 0].astype(int), 0, w - 1)
+            yi = np.clip(xy_raw[:, 1].astype(int), 0, h - 1)
+            d = depth_map[yi, xi] * self.cfg.depth_map_factor
+            ok = d > 0
+            depth = np.where(ok, d, -1.0).astype(np.float32)
+            ur = np.where(ok, und[:, 0] - self.cfg.camera.bf / np.maximum(d, 1e-6),
+                          -1.0).astype(np.float32)
+        frame = Frame(
+            frame_id=self._next_id,
+            timestamp=timestamp,
+            xy=und,
+            xy_raw=xy_raw,
+            octave=np.asarray(feats.octave),
+            angle=np.asarray(feats.angle),
+            response=np.asarray(feats.response),
+            desc=np.asarray(feats.desc),
+            valid=np.asarray(feats.valid),
+            depth=depth,
+            ur=ur,
+        )
+        self._next_id += 1
+        return frame

@@ -1,0 +1,139 @@
+"""Jitted per-frame matching programs used by the tracker.
+
+Each function here is one device dispatch per frame, fusing the reference's
+pointer-chasing search loops into dense masked kernels:
+
+- `match_motion_model`  <- ORBmatcher::SearchByProjection(cur, last, th)
+  (src/ORBmatcher.cpp:1564-1721)
+- `match_local_points`  <- Frame::isInFrustum (src/Frame.cpp:307-386) fused
+  with ORBmatcher::SearchByProjection(F, vpMapPoints, th)
+  (src/ORBmatcher.cpp:63-219) — frustum test, view-cos radius, predicted
+  scale, masked Hamming argmin
+- `match_descriptors_ratio` <- ORBmatcher::SearchByBoW(KF, F)
+  (src/ORBmatcher.cpp:220-369) without the vocabulary-node gating (the BoW
+  gate is a speed trick for CPUs; the dense masked matrix is one fused
+  kernel on TPU). Ratio 0.7 + rotation consistency as in the reference.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import matching as M
+
+BIG = M.BIG
+
+
+@functools.partial(jax.jit, static_argnames=("fx", "fy", "cx", "cy", "radius_th",
+                                             "n_levels", "log_scale"))
+def match_motion_model(T, pts_xyz, pt_valid, pt_desc, pt_last_octave,
+                       kp_xy, kp_octave, kp_desc, kp_valid, scale_factors,
+                       fx: float, fy: float, cx: float, cy: float,
+                       radius_th: float, n_levels: int, log_scale: float):
+    """Project last frame's points with the predicted pose and match around
+    the projections (radius th * scale(last octave), level window [0, +1]
+    forward — src/ORBmatcher.cpp:1627-1634)."""
+    R, t = T[:, :3], T[:, 3]
+    pc = pts_xyz @ R.T + t
+    z = pc[:, 2]
+    ok = pt_valid & (z > 0.1)
+    uv = jnp.stack([fx * pc[:, 0] / jnp.maximum(z, 1e-6) + cx,
+                    fy * pc[:, 1] / jnp.maximum(z, 1e-6) + cy], -1)
+    res = M.search_by_projection(
+        uv, pt_last_octave, jnp.full(pts_xyz.shape[0], radius_th), pt_desc, ok,
+        kp_xy, kp_octave, kp_desc, kp_valid, scale_factors,
+        max_dist=M.TH_HIGH, ratio=0.9, level_window=(-1, 1))
+    return M.resolve_duplicate_targets(res, kp_xy.shape[0])
+
+
+@functools.partial(jax.jit, static_argnames=("fx", "fy", "cx", "cy", "width",
+                                             "height", "n_levels", "log_scale",
+                                             "radius_th"))
+def match_local_points(T, pts_xyz, pt_valid, pt_desc, pt_normal,
+                       pt_min_dist, pt_max_dist, already_matched,
+                       kp_xy, kp_octave, kp_desc, kp_valid, scale_factors,
+                       fx: float, fy: float, cx: float, cy: float,
+                       width: int, height: int, n_levels: int,
+                       log_scale: float, radius_th: float = 1.0):
+    """Frustum-filter local map points and match them into the frame.
+
+    Returns (MatchResult pt->kp, in_frustum mask) — the in_frustum mask
+    drives IncreaseVisible (src/Tracking.cpp:1592-1616)."""
+    R, t = T[:, :3], T[:, 3]
+    pc = pts_xyz @ R.T + t
+    z = pc[:, 2]
+    z_ok = z > 0.1
+    uv = jnp.stack([fx * pc[:, 0] / jnp.maximum(z, 1e-6) + cx,
+                    fy * pc[:, 1] / jnp.maximum(z, 1e-6) + cy], -1)
+    in_img = (uv[:, 0] >= 0) & (uv[:, 0] < width) & (uv[:, 1] >= 0) & (uv[:, 1] < height)
+    Ow = -R.T @ t
+    po = pts_xyz - Ow[None]
+    dist = jnp.linalg.norm(po, axis=-1)
+    band = (dist >= 0.8 * pt_min_dist) & (dist <= 1.2 * pt_max_dist)
+    viewcos = jnp.sum(po * pt_normal, axis=-1) / jnp.maximum(dist, 1e-9)
+    cos_ok = viewcos > 0.5
+    in_frustum = pt_valid & z_ok & in_img & band & cos_ok
+
+    # predicted level (MapPoint::PredictScale, src/MapPoint.cpp:489-530)
+    ratio = jnp.maximum(pt_max_dist, 1e-9) / jnp.maximum(dist, 1e-9)
+    pred = jnp.ceil(jnp.log(ratio) / log_scale).astype(jnp.int32)
+    pred = jnp.clip(pred, 0, n_levels - 1)
+
+    # view-cos radius (ORBmatcher::RadiusByViewingCos, src/ORBmatcher.cpp:211)
+    radius = jnp.where(viewcos > 0.998, 2.5, 4.0) * radius_th
+
+    res = M.search_by_projection(
+        uv, pred, radius, pt_desc, in_frustum & ~already_matched,
+        kp_xy, kp_octave, kp_desc, kp_valid, scale_factors,
+        max_dist=M.TH_HIGH, ratio=0.8, level_window=(-1, 0))
+    return M.resolve_duplicate_targets(res, kp_xy.shape[0]), in_frustum
+
+
+@jax.jit
+def match_descriptors_ratio(desc_a, valid_a, angle_a, desc_b, valid_b, angle_b):
+    """Global ratio-test matching a->b (the SearchByBoW work without the
+    vocabulary gating), TH_LOW + ratio 0.7 + rotation histogram."""
+    dist = M.hamming_matrix(desc_a, desc_b)
+    cand = valid_a[:, None] & valid_b[None, :]
+    res = M.masked_best_match(dist, cand, M.TH_LOW, 0.7)
+    ok = M.rotation_consistency(angle_a, angle_b, res.idx, res.valid)
+    res = M.MatchResult(jnp.where(ok, res.idx, -1), jnp.where(ok, res.dist, BIG))
+    return M.resolve_duplicate_targets(res, desc_b.shape[0])
+
+
+@functools.partial(jax.jit, static_argnames=("fx", "fy", "cx", "cy"))
+def epipolar_match(T1, T2, kp1_xy, kp1_oct, desc1, free1,
+                   kp2_xy, kp2_oct, desc2, free2, sigma2_levels,
+                   fx: float, fy: float, cx: float, cy: float):
+    """Match unmatched features across two keyframes with an epipolar-line
+    gate (ORBmatcher::SearchForTriangulation + CheckDistEpipolarLine,
+    src/ORBmatcher.cpp:785-994, :135-160). T1/T2: [3,4] Tcw."""
+    R1, t1 = T1[:, :3], T1[:, 3]
+    R2, t2 = T2[:, :3], T2[:, 3]
+    # relative pose cam1<-cam2: R12 = R1 R2^T, t12 = -R12 t2 + t1
+    R12 = R1 @ R2.T
+    t12 = t1 - R12 @ t2
+    # Fundamental F12 such that x1^T F12 x2 = 0 (LocalMapping::ComputeF12,
+    # src/LocalMapping.cpp:723-744)
+    tx = jnp.array([[0, -t12[2], t12[1]], [t12[2], 0, -t12[0]], [-t12[1], t12[0], 0]])
+    K = jnp.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1.0]])
+    Kinv = jnp.linalg.inv(K)
+    F12 = Kinv.T @ tx @ R12 @ Kinv
+
+    p1 = jnp.concatenate([kp1_xy, jnp.ones_like(kp1_xy[:, :1])], -1)
+    p2 = jnp.concatenate([kp2_xy, jnp.ones_like(kp2_xy[:, :1])], -1)
+    # epipolar line in image 2 for each kp1: l2 = F12^T x1
+    l2 = p1 @ F12  # [N1, 3]
+    num = jnp.abs(l2 @ p2.T)  # [N1, N2] distance numerator
+    den = jnp.sqrt(l2[:, 0] ** 2 + l2[:, 1] ** 2)[:, None]
+    dsqr = (num / jnp.maximum(den, 1e-9)) ** 2
+    # gate: 3.84 * sigma^2(octave of kp2) (src/ORBmatcher.cpp:158)
+    sig2 = sigma2_levels[jnp.clip(kp2_oct, 0, sigma2_levels.shape[0] - 1)]
+    epi_ok = dsqr < 3.84 * sig2[None, :]
+
+    dist = M.hamming_matrix(desc1, desc2)
+    cand = epi_ok & free1[:, None] & free2[None, :]
+    res = M.masked_best_match(dist, cand, M.TH_LOW, 0.75)
+    return M.resolve_duplicate_targets(res, kp2_xy.shape[0])

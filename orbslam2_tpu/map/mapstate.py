@@ -1,0 +1,320 @@
+"""The SLAM map as fixed-capacity structure-of-arrays (host-resident truth).
+
+TPU-native replacement for the reference's pointer-graph Map/KeyFrame/MapPoint
+(src/Map.cpp, src/KeyFrame.cpp, src/MapPoint.cpp): every mutexed object field
+becomes a slot in a capped numpy array with a validity mask; "SetBadFlag"
+becomes a mask write + free-list push; the covisibility graph
+(KeyFrame::UpdateConnections, src/KeyFrame.cpp:377-434) is recomputed from
+the observation edge list by vectorized bincount instead of incremental
+pointer surgery.
+
+The host arrays are the single source of truth; device programs (tracking
+matchers, BA) receive padded gathers of the relevant slices. Because updates
+are plain array writes between device calls, the reference's whole locking
+discipline (Map::mMutexMapUpdate + per-object mutexes, include/Map.h:62,
+include/KeyFrame.h:250-252) disappears: tracking works on an immutable
+snapshot gathered per frame.
+
+Observation bookkeeping keeps two synchronized views:
+- `kf_pt` [Kmax, N]: feature -> point index (-1 = none); the reference's
+  Frame::mvpMapPoints / KeyFrame::mvpMapPoints
+- per-point observation sets, derived on demand from kf_pt (vectorized)
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..config import SlamConfig
+
+
+@dataclass
+class MapState:
+    cfg: SlamConfig
+    n_feat: int  # padded per-frame feature capacity
+
+    # --- keyframes ---
+    kf_valid: np.ndarray = field(init=False)
+    kf_pose: np.ndarray = field(init=False)       # [K, 3, 4] Tcw
+    kf_timestamp: np.ndarray = field(init=False)
+    kf_frame_id: np.ndarray = field(init=False)
+    # per-keyframe features (copies of the frame at creation)
+    kf_xy: np.ndarray = field(init=False)         # [K, N, 2] undistorted
+    kf_octave: np.ndarray = field(init=False)
+    kf_angle: np.ndarray = field(init=False)
+    kf_desc: np.ndarray = field(init=False)       # [K, N, 8] uint32
+    kf_depth: np.ndarray = field(init=False)      # [K, N] stereo depth (-1 mono)
+    kf_ur: np.ndarray = field(init=False)         # [K, N] right-u (-1 mono)
+    kf_feat_valid: np.ndarray = field(init=False)
+    kf_pt: np.ndarray = field(init=False)         # [K, N] -> point idx or -1
+
+    # --- map points ---
+    pt_valid: np.ndarray = field(init=False)
+    pt_xyz: np.ndarray = field(init=False)        # [P, 3]
+    pt_desc: np.ndarray = field(init=False)       # [P, 8] medoid descriptor
+    pt_normal: np.ndarray = field(init=False)     # [P, 3] mean viewing dir
+    pt_min_dist: np.ndarray = field(init=False)   # scale-invariance band
+    pt_max_dist: np.ndarray = field(init=False)
+    pt_ref_kf: np.ndarray = field(init=False)
+    pt_first_kf: np.ndarray = field(init=False)
+    pt_visible: np.ndarray = field(init=False)    # IncreaseVisible counter
+    pt_found: np.ndarray = field(init=False)      # IncreaseFound counter
+
+    next_kf_id: int = 0
+
+    def __post_init_extra__(self):
+        # culled-KF trajectory recovery: slot -> (parent_slot, T_this_wrt_parent)
+        # (the reference's KeyFrame::mTcp spanning-tree chain,
+        # include/KeyFrame.h:188-189, walked in SaveTrajectoryTUM)
+        self.kf_retired: dict[int, tuple[int, np.ndarray]] = {}
+
+    def __post_init__(self):
+        K, P, N = self.cfg.max_keyframes, self.cfg.max_points, self.n_feat
+        self.kf_valid = np.zeros(K, bool)
+        self.kf_pose = np.zeros((K, 3, 4), np.float32)
+        self.kf_timestamp = np.zeros(K, np.float64)
+        self.kf_frame_id = np.full(K, -1, np.int64)
+        self.kf_xy = np.zeros((K, N, 2), np.float32)
+        self.kf_octave = np.zeros((K, N), np.int32)
+        self.kf_angle = np.zeros((K, N), np.float32)
+        self.kf_desc = np.zeros((K, N, 8), np.uint32)
+        self.kf_depth = np.full((K, N), -1.0, np.float32)
+        self.kf_ur = np.full((K, N), -1.0, np.float32)
+        self.kf_feat_valid = np.zeros((K, N), bool)
+        self.kf_pt = np.full((K, N), -1, np.int32)
+        self.pt_valid = np.zeros(P, bool)
+        self.pt_xyz = np.zeros((P, 3), np.float32)
+        self.pt_desc = np.zeros((P, 8), np.uint32)
+        self.pt_normal = np.zeros((P, 3), np.float32)
+        self.pt_min_dist = np.zeros(P, np.float32)
+        self.pt_max_dist = np.zeros(P, np.float32)
+        self.pt_ref_kf = np.full(P, -1, np.int32)
+        self.pt_first_kf = np.full(P, -1, np.int32)
+        self.pt_visible = np.ones(P, np.float32)
+        self.pt_found = np.ones(P, np.float32)
+        self.__post_init_extra__()
+
+    # ------------------------------------------------------------------ slots
+    def alloc_kf(self) -> int:
+        free = np.flatnonzero(~self.kf_valid)
+        if len(free) == 0:
+            raise RuntimeError("keyframe capacity exhausted")
+        return int(free[0])
+
+    def alloc_points(self, n: int) -> np.ndarray:
+        free = np.flatnonzero(~self.pt_valid)
+        if len(free) < n:
+            raise RuntimeError("point capacity exhausted")
+        return free[:n]
+
+    @property
+    def kf_ids(self) -> np.ndarray:
+        return np.flatnonzero(self.kf_valid)
+
+    @property
+    def n_keyframes(self) -> int:
+        return int(self.kf_valid.sum())
+
+    @property
+    def n_points(self) -> int:
+        return int(self.pt_valid.sum())
+
+    # ------------------------------------------------------------- keyframes
+    def add_keyframe(self, pose, timestamp, frame_id, xy, octave, angle, desc,
+                     feat_valid, pt_idx, depth=None, ur=None) -> int:
+        n = xy.shape[0]
+        if n < self.n_feat:  # regular frames are smaller than mono-init frames
+            pad = self.n_feat - n
+            xy = np.pad(xy, ((0, pad), (0, 0)))
+            octave = np.pad(octave, (0, pad))
+            angle = np.pad(angle, (0, pad))
+            desc = np.pad(desc, ((0, pad), (0, 0)))
+            feat_valid = np.pad(feat_valid, (0, pad))
+            pt_idx = np.pad(pt_idx, (0, pad), constant_values=-1)
+            if depth is not None:
+                depth = np.pad(depth, (0, pad), constant_values=-1.0)
+            if ur is not None:
+                ur = np.pad(ur, (0, pad), constant_values=-1.0)
+        k = self.alloc_kf()
+        self.kf_valid[k] = True
+        self.kf_pose[k] = pose
+        self.kf_timestamp[k] = timestamp
+        self.kf_frame_id[k] = frame_id
+        self.kf_xy[k] = xy
+        self.kf_octave[k] = octave
+        self.kf_angle[k] = angle
+        self.kf_desc[k] = desc
+        self.kf_feat_valid[k] = feat_valid
+        self.kf_pt[k] = np.where(feat_valid, pt_idx, -1)
+        if depth is not None:
+            self.kf_depth[k] = depth
+        if ur is not None:
+            self.kf_ur[k] = ur
+        self.next_kf_id = max(self.next_kf_id, k + 1)
+        return k
+
+    def remove_keyframe(self, k: int):
+        """KeyFrame::SetBadFlag (src/KeyFrame.cpp:567): invalidate the slot
+        and record the relative pose to a surviving anchor so frame
+        trajectories referencing this KF stay recoverable."""
+        anchor = self._anchor_for(k)
+        if anchor >= 0:
+            Tk = self.kf_pose[k]
+            Ta = self.kf_pose[anchor]
+            Ra, ta = Ta[:, :3], Ta[:, 3]
+            Ta_inv = np.hstack([Ra.T, (-Ra.T @ ta)[:, None]])
+            T_rel = np.hstack([
+                Tk[:, :3] @ Ta_inv[:, :3],
+                (Tk[:, :3] @ Ta_inv[:, 3] + Tk[:, 3])[:, None]]).astype(np.float32)
+            self.kf_retired[k] = (anchor, T_rel)
+        self.kf_valid[k] = False
+        self.kf_pt[k] = -1
+        self.kf_feat_valid[k] = False
+
+    def _anchor_for(self, k: int) -> int:
+        """Most covisible surviving keyframe (parent surrogate)."""
+        w = self.covisibility_weights(k)
+        if w.max() > 0:
+            return int(np.argmax(w))
+        alive = np.flatnonzero(self.kf_valid & (np.arange(len(self.kf_valid)) != k))
+        return int(alive[-1]) if len(alive) else -1
+
+    def resolve_kf_pose(self, k: int) -> np.ndarray | None:
+        """Pose of keyframe k, chaining through retired anchors if culled."""
+        T_acc = np.hstack([np.eye(3), np.zeros((3, 1))]).astype(np.float32)
+        for _ in range(64):
+            if self.kf_valid[k]:
+                Tk = self.kf_pose[k]
+                R = T_acc[:, :3] @ Tk[:, :3]
+                t = T_acc[:, :3] @ Tk[:, 3] + T_acc[:, 3]
+                return np.hstack([R, t[:, None]]).astype(np.float32)
+            if k not in self.kf_retired:
+                return None
+            anchor, T_rel = self.kf_retired[k]
+            R = T_acc[:, :3] @ T_rel[:, :3]
+            t = T_acc[:, :3] @ T_rel[:, 3] + T_acc[:, 3]
+            T_acc = np.hstack([R, t[:, None]]).astype(np.float32)
+            k = anchor
+        return None
+
+    # ----------------------------------------------------------------- points
+    def add_points(self, xyz, desc, ref_kf: int, first_kf: int) -> np.ndarray:
+        ids = self.alloc_points(len(xyz))
+        self.pt_valid[ids] = True
+        self.pt_xyz[ids] = xyz
+        self.pt_desc[ids] = desc
+        self.pt_ref_kf[ids] = ref_kf
+        self.pt_first_kf[ids] = first_kf
+        self.pt_visible[ids] = 1.0
+        self.pt_found[ids] = 1.0
+        return ids
+
+    def remove_points(self, ids: np.ndarray):
+        """MapPoint::SetBadFlag (src/MapPoint.cpp:184): invalidate the point
+        and erase every observation of it."""
+        ids = np.asarray(ids)
+        if len(ids) == 0:
+            return
+        self.pt_valid[ids] = False
+        mask = np.isin(self.kf_pt, ids)
+        self.kf_pt[mask] = -1
+
+    def replace_point(self, old: int, new: int):
+        """MapPoint::Replace (src/MapPoint.cpp:212): redirect observations of
+        `old` to `new` (skipping keyframes that already see `new`), keep
+        visibility stats."""
+        sees_new = (self.kf_pt == new).any(axis=1)
+        rows, cols = np.where(self.kf_pt == old)
+        for r, c in zip(rows, cols):
+            self.kf_pt[r, c] = -1 if sees_new[r] else new
+        self.pt_found[new] += self.pt_found[old]
+        self.pt_visible[new] += self.pt_visible[old]
+        self.pt_valid[old] = False
+
+    # ------------------------------------------------------------ observations
+    def observations_of(self, pt_ids: np.ndarray):
+        """(kf, feat) pairs observing each of pt_ids. Returns (rows kf,
+        cols feat, pt arrays) over all observations of the given points."""
+        sub = np.isin(self.kf_pt, pt_ids) & self.kf_feat_valid & self.kf_valid[:, None]
+        kf, feat = np.where(sub)
+        return kf, feat, self.kf_pt[kf, feat]
+
+    def point_obs_count(self) -> np.ndarray:
+        """nObs per point (stereo observations count double, matching
+        MapPoint::AddObservation, src/MapPoint.cpp:127-140)."""
+        P = self.pt_xyz.shape[0]
+        flat = self.kf_pt[self.kf_valid].ravel()
+        w = np.where(self.kf_ur[self.kf_valid].ravel() >= 0, 2, 1)
+        m = flat >= 0
+        return np.bincount(flat[m], weights=w[m], minlength=P)
+
+    # ------------------------------------------------------------ covisibility
+    def covisibility_weights(self, k: int) -> np.ndarray:
+        """Shared-point counts between keyframe k and all other keyframes
+        (KeyFrame::UpdateConnections, src/KeyFrame.cpp:377)."""
+        pts = self.kf_pt[k]
+        pts = pts[pts >= 0]
+        if len(pts) == 0:
+            return np.zeros(self.kf_pose.shape[0], np.int64)
+        seen = np.zeros(self.pt_xyz.shape[0], bool)
+        seen[pts] = True
+        shares = seen[np.clip(self.kf_pt, 0, None)] & (self.kf_pt >= 0)
+        w = shares.sum(axis=1)
+        w[k] = 0
+        w[~self.kf_valid] = 0
+        return w
+
+    def covisible_kfs(self, k: int, n: int | None = None, min_weight: int = 15
+                      ) -> np.ndarray:
+        """Best covisible keyframes ordered by weight (threshold 15, best
+        always kept — src/KeyFrame.cpp:427)."""
+        w = self.covisibility_weights(k)
+        order = np.argsort(-w)
+        order = order[w[order] > 0]
+        if len(order) == 0:
+            return order
+        keep = order[w[order] >= min_weight]
+        if len(keep) == 0:
+            keep = order[:1]
+        return keep[:n] if n is not None else keep
+
+    # ------------------------------------------------------- derived refreshes
+    def refresh_point_stats(self, pt_ids: np.ndarray, cam_centers=None):
+        """Recompute medoid descriptor, mean normal and scale band for the
+        given points (MapPoint::ComputeDistinctiveDescriptors :306 +
+        UpdateNormalAndDepth :422). Vectorized over the observation set."""
+        pt_ids = np.asarray(pt_ids)
+        pt_ids = pt_ids[self.pt_valid[pt_ids]] if len(pt_ids) else pt_ids
+        if len(pt_ids) == 0:
+            return
+        kf, feat, pt = self.observations_of(pt_ids)
+        if len(kf) == 0:
+            return
+        sf = self.cfg.orb.scale_factor
+        n_levels = self.cfg.orb.n_levels
+        # camera centers of observing KFs
+        R = self.kf_pose[kf, :, :3]
+        t = self.kf_pose[kf, :, 3]
+        centers = -np.einsum("nij,nj->ni", R.transpose(0, 2, 1), t)
+        for p in pt_ids:
+            m = pt == p
+            if not m.any():
+                continue
+            kfs, feats = kf[m], feat[m]
+            descs = self.kf_desc[kfs, feats]  # [M, 8] uint32
+            # medoid: min summed Hamming distance
+            x = descs[:, None, :] ^ descs[None, :, :]
+            dist = np.unpackbits(x.view(np.uint8), axis=-1).sum(-1).sum(-1)
+            self.pt_desc[p] = descs[np.argmin(dist)]
+            # normal + distance band from the reference observation
+            vecs = self.pt_xyz[p][None] - centers[m]
+            norms = np.linalg.norm(vecs, axis=-1, keepdims=True)
+            normal = (vecs / np.maximum(norms, 1e-9)).mean(axis=0)
+            self.pt_normal[p] = normal / max(np.linalg.norm(normal), 1e-9)
+            ref_pos = np.where(kfs == self.pt_ref_kf[p])[0]
+            j = ref_pos[0] if len(ref_pos) else 0
+            dist_ref = float(norms[j, 0])
+            level = int(self.kf_octave[kfs[j], feats[j]])
+            self.pt_max_dist[p] = dist_ref * (sf ** level)
+            self.pt_min_dist[p] = self.pt_max_dist[p] / (sf ** (n_levels - 1))

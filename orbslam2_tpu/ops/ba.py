@@ -37,6 +37,10 @@ from ..geometry import se3
 from . import ba_core as BC
 
 
+MIN_DEPTH = 0.05    # meters; below this J ~ 1/z^2 risks f32 overflow
+CHI2_TRIM = 1e5     # edges beyond this are excluded from the normal system
+
+
 def _seg_sum(x, idx, n):
     return jax.ops.segment_sum(x, idx, num_segments=n)
 
@@ -82,8 +86,12 @@ def _edge_terms(p: BAProblem, cam_T, pts, e_active, fx, fy, cx, cy, bf, robust):
     Jp, Jpc = BC.residual_jacobians(pc, p.e_stereo, fx, fy, bf)
     Jpt = Jpc @ R                            # world-point Jacobian [E, 3, 3]
     chi2, w = BC.chi2_and_weight(res, p.e_stereo, p.e_info, robust)
-    m = (e_active & (z > 1e-3)).astype(jnp.float32) * w * p.e_info
-    cost = jnp.sum(jnp.where(e_active & (z > 1e-3), jnp.minimum(chi2, 1e6), 0.0))
+    # depth floor + hopeless-outlier trim: near-zero depth makes J ~ 1/z^2
+    # overflow f32 in the H assembly (observed: z=0.009 -> chi2 2e5 -> NaN)
+    usable = e_active & (z > MIN_DEPTH) & (chi2 < CHI2_TRIM)
+    m = usable.astype(jnp.float32) * w * p.e_info
+    cost = jnp.sum(jnp.where(e_active & (z > MIN_DEPTH),
+                             jnp.minimum(chi2, CHI2_TRIM), 0.0))
     return res, Jp, Jpt, m, cost, chi2, z
 
 
@@ -137,12 +145,18 @@ def _lm_iteration(p: BAProblem, cam_T, pts, lam, e_active, fx, fy, cx, cy, bf,
     def cg_body(carry, _):
         x, r, zvec, pdir, rz = carry
         Ap = S_mv(pdir)
-        alpha = rz / jnp.maximum(jnp.sum(pdir * Ap), 1e-12)
+        denom = jnp.sum(pdir * Ap)
+        # Krylov breakdown guard: S is PSD up to damping, but the mono scale
+        # gauge makes denom ~ 0 along the near-null direction; a raw division
+        # there produced NaNs (observed at specific cg_iters counts). On
+        # breakdown, freeze the iterate.
+        ok = denom > 1e-12
+        alpha = jnp.where(ok, rz / jnp.where(ok, denom, 1.0), 0.0)
         x = x + alpha * pdir
         r = r - alpha * Ap
         z_new = precond(r)
         rz_new = jnp.sum(r * z_new)
-        beta = rz_new / jnp.maximum(rz, 1e-12)
+        beta = jnp.where(rz > 1e-20, rz_new / jnp.where(rz > 1e-20, rz, 1.0), 0.0)
         pdir = z_new + beta * pdir
         return (x, r, z_new, pdir, rz_new), None
 
@@ -152,11 +166,13 @@ def _lm_iteration(p: BAProblem, cam_T, pts, lam, e_active, fx, fy, cx, cy, bf,
     (dx_c, *_), _ = jax.lax.scan(
         cg_body, (x0, r0, z0, z0, jnp.sum(r0 * z0)), None, length=cg_iters)
 
+    dx_c = jnp.where(jnp.isfinite(dx_c), dx_c, 0.0)
     # back-substitute points: dx_p = Hpp^-1 (bp - W^T dx_c)
     wtx = _seg_sum(jnp.einsum("eij,ei->ej", W, dx_c[p.e_cam]), p.e_pt, P)
     dx_p = jnp.einsum("pij,pj->pi", Hpp_inv, bp - wtx)
     pt_has_edges = _seg_sum(m, p.e_pt, P) > 0
     dx_p = jnp.where((p.pt_valid & pt_has_edges)[:, None], dx_p, 0.0)
+    dx_p = jnp.where(jnp.isfinite(dx_p), dx_p, 0.0)
 
     cam_T_new = se3.retract(cam_T, dx_c * free_cam)
     pts_new = pts + dx_p
@@ -174,7 +190,7 @@ def _classify(p: BAProblem, cam_T, pts, fx, fy, cx, cy, bf):
     res, _, _, _, _, chi2, z = _edge_terms(
         p, cam_T, pts, p.e_valid, fx, fy, cx, cy, bf, robust=False)
     th = jnp.where(p.e_stereo, BC.CHI2_STEREO, BC.CHI2_MONO)
-    return p.e_valid & (chi2 <= th) & (z > 1e-3)
+    return p.e_valid & (chi2 <= th) & (z > MIN_DEPTH)
 
 
 @functools.partial(

@@ -94,14 +94,11 @@ def brief_pattern(seed: int = 7) -> np.ndarray:
 
 @functools.lru_cache(maxsize=2)
 def _ic_angle_masks():
-    """Circular mask and coordinate grids for the intensity centroid."""
+    """Circular mask and coordinate grids for the intensity centroid.
+    Cached as numpy (caching device arrays would leak tracers under jit)."""
     ys, xs = np.mgrid[-HALF_PATCH:HALF_PATCH + 1, -HALF_PATCH:HALF_PATCH + 1]
     mask = (xs ** 2 + ys ** 2) <= HALF_PATCH ** 2
-    return (
-        jnp.asarray(mask.astype(np.float32)),
-        jnp.asarray(xs.astype(np.float32)),
-        jnp.asarray(ys.astype(np.float32)),
-    )
+    return (mask.astype(np.float32), xs.astype(np.float32), ys.astype(np.float32))
 
 
 def fast_response(img: jnp.ndarray, th_high: float, th_low: float):
@@ -295,60 +292,195 @@ def padded_capacity(n_features: int) -> int:
     return int(math.ceil(n_features / 256) * 256)
 
 
+def _fast_response_batched(atlas, th_high: float, th_low: float):
+    """FAST-9/16 over the whole pyramid atlas [L, H, W] at once."""
+    pad = jnp.pad(atlas, ((0, 0), (3, 3), (3, 3)), mode="edge")
+    L, H, W = atlas.shape
+    shifted = jnp.stack(
+        [pad[:, 3 + dy: 3 + dy + H, 3 + dx: 3 + dx + W] for dy, dx in _CIRCLE],
+        axis=0,
+    )  # [16, L, H, W]
+    d = shifted - atlas[None]
+
+    def corner_and_score(th):
+        bright = (d > th).astype(jnp.uint32)
+        dark = (d < -th).astype(jnp.uint32)
+
+        def has_run9(bits16):
+            weights = (2 ** np.arange(16)).astype(np.uint32)
+            m = jnp.sum(bits16 * jnp.asarray(weights)[:, None, None, None], axis=0)
+            m2 = m | (m << 16)
+            run = m2
+            for k in range(1, 9):
+                run = run & (m2 >> k)
+            return (run & jnp.uint32(0xFFFF)) != 0
+
+        is_b = has_run9(bright)
+        is_d = has_run9(dark)
+        sb = jnp.sum(jnp.maximum(d - th, 0.0), axis=0)
+        sd = jnp.sum(jnp.maximum(-d - th, 0.0), axis=0)
+        score = jnp.where(is_b, sb, 0.0)
+        return jnp.maximum(score, jnp.where(is_d, sd, 0.0))
+
+    return corner_and_score(th_high), corner_and_score(th_low)
+
+
+def _nms3_batched(resp):
+    pad = jnp.pad(resp, ((0, 0), (1, 1), (1, 1)))
+    L, H, W = resp.shape
+    mx = resp
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            mx = jnp.maximum(mx, pad[:, 1 + dy: 1 + dy + H, 1 + dx: 1 + dx + W])
+    return jnp.where(resp >= mx, resp, 0.0)
+
+
+def gaussian_blur7_batched(atlas, sigma: float = 2.0):
+    """Separable 7x7 Gaussian over [L, H, W]."""
+    r = 3
+    k = np.exp(-0.5 * (np.arange(-r, r + 1) / sigma) ** 2)
+    kj = jnp.asarray((k / k.sum()).astype(np.float32))
+    L, H, W = atlas.shape
+    pad = jnp.pad(atlas, ((0, 0), (0, 0), (r, r)), mode="edge")
+    h = sum(kj[i] * pad[:, :, i: i + W] for i in range(2 * r + 1))
+    hpad = jnp.pad(h, ((0, 0), (r, r), (0, 0)), mode="edge")
+    return sum(kj[i] * hpad[:, i: i + H, :] for i in range(2 * r + 1))
+
+
 @functools.partial(jax.jit, static_argnames=("params", "height", "width"))
 def extract_orb(img, params: OrbParams, height: int, width: int) -> FrameFeatures:
     """Full ORB extraction over the pyramid. img: [H, W] float32 [0, 255].
 
     Replaces ORBextractor::operator() (src/ORBextractor.cpp:1120-1195).
+    TPU design: all pyramid levels live in one padded atlas [L, H, W] so
+    FAST, NMS, blur and the angle/descriptor gathers are single batched ops
+    (the reference loops levels; unrolling 8 subgraphs also made XLA compiles
+    ~8x slower). Per-level work that must stay separate (budgeted top-k) is
+    a small unrolled loop over response slices.
     """
-    sizes = level_sizes(height, width, params.n_levels, params.scale_factor)
-    budgets = features_per_level(params.n_features, params.n_levels, params.scale_factor)
+    L = params.n_levels
+    sizes = level_sizes(height, width, L, params.scale_factor)
+    budgets = features_per_level(params.n_features, L, params.scale_factor)
+    min_size = 2 * EDGE_BORDER + 8
+    H0, W0 = height, width
 
-    min_size = 2 * EDGE_BORDER + 8  # level must host the 31px patch + border
-    xs_all, ys_all, resp_all, ang_all, oct_all, desc_all, valid_all = ([] for _ in range(7))
+    # ---- pyramid atlas ----
+    atlas = jnp.zeros((L, H0, W0), img.dtype)
     level_img = img
-    for lv in range(params.n_levels):
+    for lv in range(L):
         h, w = sizes[lv]
         if h < min_size or w < min_size:
-            b = budgets[lv]
-            xs_all.append(jnp.zeros((b,), jnp.float32))
-            ys_all.append(jnp.zeros((b,), jnp.float32))
-            resp_all.append(jnp.zeros((b,)))
-            ang_all.append(jnp.zeros((b,)))
-            oct_all.append(jnp.full((b,), lv, jnp.int32))
-            desc_all.append(jnp.zeros((b, 8), jnp.uint32))
-            valid_all.append(jnp.zeros((b,), bool))
             continue
         if lv > 0:
             level_img = jax.image.resize(level_img, (h, w), method="bilinear")
-        rh, rl = fast_response(level_img, params.ini_th_fast, params.min_th_fast)
-        xs, ys, resp, valid = select_keypoints(
-            rh, rl, budgets[lv], params.cell_size, EDGE_BORDER
-        )
-        ang = ic_angles(level_img, xs, ys)
-        blur = gaussian_blur7(level_img)
-        desc = brief_descriptors(blur, xs, ys, ang)
-        scale = params.scale_factor ** lv
-        xs_all.append(xs.astype(jnp.float32) * scale)
-        ys_all.append(ys.astype(jnp.float32) * scale)
-        resp_all.append(resp)
-        ang_all.append(ang)
-        oct_all.append(jnp.full((budgets[lv],), lv, jnp.int32))
-        desc_all.append(desc)
-        valid_all.append(valid)
+        # replicate last row/col outward so FAST/blur edge handling stays sane
+        atlas = atlas.at[lv, :h, :w].set(level_img)
+        atlas = atlas.at[lv, h:, :w].set(level_img[-1][None, :])
+        atlas = atlas.at[lv, :h, w:].set(level_img[:, -1][:, None])
+        atlas = atlas.at[lv, h:, w:].set(level_img[-1, -1])
 
-    xy = jnp.stack([jnp.concatenate(xs_all), jnp.concatenate(ys_all)], axis=-1)
-    feats = FrameFeatures(
-        xy=xy,
-        response=jnp.concatenate(resp_all),
-        angle=jnp.concatenate(ang_all),
-        octave=jnp.concatenate(oct_all),
-        desc=jnp.concatenate(desc_all, axis=0),
-        valid=jnp.concatenate(valid_all),
-    )
-    # pad to static capacity
+    # ---- batched FAST + NMS, masked to per-level valid interiors ----
+    rh, rl = _fast_response_batched(atlas, params.ini_th_fast, params.min_th_fast)
+    ys_g = jax.lax.broadcasted_iota(jnp.int32, (L, H0, W0), 1)
+    xs_g = jax.lax.broadcasted_iota(jnp.int32, (L, H0, W0), 2)
+    interior = jnp.stack([
+        (ys_g[lv] >= EDGE_BORDER) & (ys_g[lv] < sizes[lv][0] - EDGE_BORDER)
+        & (xs_g[lv] >= EDGE_BORDER) & (xs_g[lv] < sizes[lv][1] - EDGE_BORDER)
+        if sizes[lv][0] >= min_size and sizes[lv][1] >= min_size
+        else jnp.zeros((H0, W0), bool)
+        for lv in range(L)
+    ])
+    rh = jnp.where(interior, _nms3_batched(rh), 0.0)
+    rl = jnp.where(interior, _nms3_batched(rl), 0.0)
+
+    # ---- per-level budgeted selection (tiered cell-uniform top-k) ----
+    cell = params.cell_size
+    Hp = (H0 + cell - 1) // cell * cell
+    Wp = (W0 + cell - 1) // cell * cell
+
+    def cell_best_mask(r):
+        rp = jnp.pad(r, ((0, 0), (0, Hp - H0), (0, Wp - W0)))
+        c = rp.reshape(L, Hp // cell, cell, Wp // cell, cell)
+        cmax = c.max(axis=(2, 4), keepdims=True)
+        best = (c == cmax) & (c > 0)
+        return best.reshape(L, Hp, Wp)[:, :H0, :W0]
+
+    def norm(r):
+        return r / (jnp.max(r, axis=(1, 2), keepdims=True) + 1e-6)
+
+    nh, nl = norm(rh), norm(rl)
+    tier = jnp.zeros_like(rh)
+    tier = jnp.where(rl > 0, 1.0 + nl, tier)
+    tier = jnp.where(cell_best_mask(rl), 3.0 + nl, tier)
+    tier = jnp.where(rh > 0, 5.0 + nh, tier)
+    tier = jnp.where(cell_best_mask(rh) & (rh > 0), 7.0 + nh, tier)
+
+    xs_list, ys_list, lvl_list, resp_list, valid_list = [], [], [], [], []
+    for lv in range(L):
+        scores, idx = jax.lax.top_k(tier[lv].ravel(), budgets[lv])
+        ys = idx // W0
+        xs = idx % W0
+        valid = scores > 0
+        r = jnp.where(rh[lv].ravel()[idx] > 0, rh[lv].ravel()[idx],
+                      rl[lv].ravel()[idx])
+        xs_list.append(xs)
+        ys_list.append(ys)
+        lvl_list.append(jnp.full((budgets[lv],), lv, jnp.int32))
+        resp_list.append(jnp.where(valid, r, 0.0))
+        valid_list.append(valid)
+
+    xs = jnp.concatenate(xs_list)
+    ys = jnp.concatenate(ys_list)
+    lvl = jnp.concatenate(lvl_list)
+    resp = jnp.concatenate(resp_list)
+    valid = jnp.concatenate(valid_list)
+
+    # ---- orientation: batched circular-moment gather over the atlas ----
+    mask_np, gx_np, gy_np = _ic_angle_masks()
+    mask, gx, gy = jnp.asarray(mask_np), jnp.asarray(gx_np), jnp.asarray(gy_np)
+
+    def one_patch(l, x, y):
+        return jax.lax.dynamic_slice(
+            atlas, (l, y - HALF_PATCH, x - HALF_PATCH), (1, PATCH, PATCH))[0]
+
+    patches = jax.vmap(one_patch)(lvl, xs, ys)  # [K, 31, 31]
+    pm = patches * mask
+    ang = jnp.arctan2(jnp.sum(pm * gy, axis=(1, 2)), jnp.sum(pm * gx, axis=(1, 2)))
+
+    # ---- descriptors: rotated BRIEF gathers on the blurred atlas ----
+    blur = gaussian_blur7_batched(atlas)
+    pat = jnp.asarray(brief_pattern())
+    ca, sa = jnp.cos(ang), jnp.sin(ang)
+
+    def rotxy(px, py):
+        rx = jnp.round(px[None, :] * ca[:, None] - py[None, :] * sa[:, None]).astype(jnp.int32)
+        ry = jnp.round(px[None, :] * sa[:, None] + py[None, :] * ca[:, None]).astype(jnp.int32)
+        return rx, ry
+
+    ax, ay = rotxy(pat[:, 0], pat[:, 1])
+    bx, by = rotxy(pat[:, 2], pat[:, 3])
+    flat = blur.reshape(-1)
+
+    def sample(dx, dy):
+        x = jnp.clip(xs[:, None] + dx, 0, W0 - 1)
+        y = jnp.clip(ys[:, None] + dy, 0, H0 - 1)
+        return jnp.take(flat, (lvl[:, None] * H0 + y) * W0 + x)
+
+    bits = (sample(ax, ay) < sample(bx, by)).astype(jnp.uint32)
+    words = bits.reshape(-1, 8, 32)
+    weights = jnp.asarray((2 ** np.arange(32)).astype(np.uint32))
+    desc = jnp.sum(words * weights[None, None, :], axis=-1, dtype=jnp.uint32)
+
+    # ---- scale coords to level 0, pad to capacity ----
+    sf = jnp.asarray(scale_factors(params))[lvl]
+    xy = jnp.stack([xs.astype(jnp.float32) * sf, ys.astype(jnp.float32) * sf], -1)
+
+    feats = FrameFeatures(xy=xy, response=resp, angle=ang, octave=lvl,
+                          desc=desc, valid=valid)
     cap = padded_capacity(params.n_features)
-    n = feats.xy.shape[0]
+    n = xy.shape[0]
     if n < cap:
         pad = cap - n
         feats = FrameFeatures(

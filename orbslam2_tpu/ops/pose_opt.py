@@ -32,8 +32,8 @@ def _normal_system(T, pts, obs, is_stereo, info, active, fx, fy, cx, cy, bf, rob
     res, pc = BC.project_residual(T, pts, obs, is_stereo, fx, fy, cx, cy, bf)
     Jp, _ = BC.residual_jacobians(pc, is_stereo, fx, fy, bf)
     chi2, w = BC.chi2_and_weight(res, is_stereo, info, robust)
-    depth_ok = pc[:, 2] > 1e-3
-    m = (active & depth_ok).astype(jnp.float32) * w * info
+    depth_ok = pc[:, 2] > 0.05  # f32-safe depth floor (see ops/ba.py MIN_DEPTH)
+    m = (active & depth_ok & (chi2 < 1e5)).astype(jnp.float32) * w * info
     H = jnp.einsum("nri,n,nrj->ij", Jp, m, Jp)
     g = -jnp.einsum("nri,n,nr->i", Jp, m, res)
     cost = jnp.sum(jnp.where(active & depth_ok, jnp.minimum(chi2, 1e6), 0.0))
@@ -80,6 +80,6 @@ def pose_optimize(T0, pts, obs_uvr, is_stereo, octave_sigma2_inv, valid,
         res, pc = BC.project_residual(T0, pts, obs_uvr, is_stereo, fx, fy, cx, cy, bf)
         chi2, _ = BC.chi2_and_weight(res, is_stereo, octave_sigma2_inv, robust=False)
         th = jnp.where(is_stereo, BC.CHI2_STEREO, BC.CHI2_MONO)
-        inliers = valid & (chi2 <= th) & (pc[:, 2] > 1e-3)
+        inliers = valid & (chi2 <= th) & (pc[:, 2] > 0.05)
 
     return PoseOptResult(T=T0, inliers=inliers, n_inliers=jnp.sum(inliers))

@@ -1,0 +1,488 @@
+"""Per-frame tracking: the front-end state machine.
+
+TPU-native redesign of src/Tracking.cpp. The reference's 2000-line
+pointer-walking state machine becomes a thin host orchestrator around a
+handful of jitted device programs per frame:
+
+    extract_orb -> (match_motion_model | match_descriptors_ratio)
+                -> pose_optimize -> match_local_points -> pose_optimize
+
+State machine {NOT_INITIALIZED, OK, LOST} (include/Tracking.h:81-87; the
+reference's SYSTEM_NOT_READY/NO_IMAGES_YET collapse into construction).
+Monocular initialization follows Tracking::MonocularInitialization (:729) +
+CreateInitialMapMonocular (:834): windowed matching, batched H/F RANSAC,
+initial two-keyframe map, global BA, median-depth scale normalization.
+
+Keyframe decision mirrors NeedNewKeyFrame (:1308) conditions c1a/c1b/c2.
+Relocalization (BoW + EPnP RANSAC) lives in relocalization.py.
+"""
+from __future__ import annotations
+
+from enum import IntEnum
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import SlamConfig, Sensor
+from .frontend.frame import Frame, FrameBuilder
+from .frontend import matcher as FM
+from .geometry import se3
+from .geometry import se3_np
+from .map.mapstate import MapState
+from .ops import ba as BA
+from .ops import features as F
+from .ops import matching as M
+from .ops import pose_opt as PO
+from .ops import twoview as TV
+
+
+class TrackState(IntEnum):
+    NOT_INITIALIZED = 0
+    OK = 1
+    LOST = 2
+
+
+def _np(x):
+    return np.asarray(x)
+
+
+class Tracker:
+    def __init__(self, cfg: SlamConfig, mp: MapState, local_mapper=None,
+                 relocalizer=None):
+        self.cfg = cfg
+        self.map = mp
+        self.local_mapper = local_mapper
+        self.relocalizer = relocalizer
+        cam = cfg.camera
+        self.K = np.array(cam.K, np.float32)
+        self.sf = F.scale_factors(cfg.orb)
+        self.sigma2 = F.sigma2_per_octave(cfg.orb)
+        self.builder = FrameBuilder(cfg)
+        # mono init uses a double feature budget (src/Tracking.cpp:148-149)
+        self.init_builder = (FrameBuilder(cfg, cfg.orb.n_features * 2)
+                             if cfg.sensor == Sensor.MONOCULAR else self.builder)
+
+        self.state = TrackState.NOT_INITIALIZED
+        self.init_ref: Frame | None = None
+        self.last_frame: Frame | None = None
+        self.velocity: np.ndarray | None = None  # T_cur_last [3,4]
+        self.ref_kf: int = -1
+        self.last_kf_frame_id: int = -1
+        self.matches_inliers: int = 0
+        self._rng = jax.random.PRNGKey(0)
+        # trajectory log: (timestamp, ref_kf, T_frame_wrt_refkf, lost)
+        # (mlRelativeFramePoses etc., include/Tracking.h:109-112)
+        self.frame_log: list[tuple[float, int, np.ndarray, bool]] = []
+        self.n_lost_frames = 0
+
+    # ------------------------------------------------------------------ utils
+    def _next_key(self):
+        self._rng, k = jax.random.split(self._rng)
+        return k
+
+    def _pose_optimize(self, frame: Frame) -> int:
+        """Run motion-only BA on the frame's current point associations and
+        prune outlier associations (Tracking.cpp:1034-1057 pattern)."""
+        pt = frame.pt_idx
+        ok = (pt >= 0) & frame.valid & self.map.pt_valid[np.clip(pt, 0, None)]
+        pts_xyz = self.map.pt_xyz[np.clip(pt, 0, None)]
+        obs = np.concatenate([frame.xy, frame.ur[:, None]], -1).astype(np.float32)
+        is_st = frame.ur >= 0
+        info = (1.0 / self.sigma2)[np.clip(frame.octave, 0, len(self.sigma2) - 1)]
+        cam = self.cfg.camera
+        res = PO.pose_optimize(
+            jnp.asarray(frame.pose), jnp.asarray(pts_xyz), jnp.asarray(obs),
+            jnp.asarray(is_st & ok), jnp.asarray(info.astype(np.float32)),
+            jnp.asarray(ok), cam.fx, cam.fy, cam.cx, cam.cy, cam.bf)
+        frame.pose = _np(res.T)
+        inl = _np(res.inliers)
+        frame.pt_idx = np.where(ok & ~inl, -1, frame.pt_idx)
+        return int(inl.sum())
+
+    # ------------------------------------------------------------- main entry
+    def process_image(self, img: np.ndarray, timestamp: float,
+                      depth_map: np.ndarray | None = None,
+                      right_img: np.ndarray | None = None) -> np.ndarray | None:
+        builder = (self.init_builder
+                   if self.state == TrackState.NOT_INITIALIZED else self.builder)
+        frame = builder.build(img, timestamp, depth_map=depth_map,
+                              right_img=right_img)
+        return self.track(frame)
+
+    def track(self, frame: Frame) -> np.ndarray | None:
+        if self.state == TrackState.NOT_INITIALIZED:
+            if self.cfg.sensor == Sensor.MONOCULAR:
+                self._monocular_initialization(frame)
+            else:
+                self._stereo_initialization(frame)
+            if self.state == TrackState.OK:
+                self._log_frame(frame, lost=False)
+                return frame.pose
+            return None
+
+        ok = False
+        if self.state == TrackState.OK:
+            if self.velocity is not None:
+                ok = self._track_with_motion_model(frame)
+            if not ok:
+                ok = self._track_reference_keyframe(frame)
+        else:  # LOST
+            ok = self._relocalize(frame)
+
+        if ok:
+            ok = self._track_local_map(frame)
+
+        if ok:
+            self.state = TrackState.OK
+            if self.last_frame is not None and self.last_frame.pose is not None:
+                self.velocity = se3_np.compose(
+                    frame.pose, se3_np.inverse(self.last_frame.pose))
+            if self._need_new_keyframe(frame):
+                self._create_keyframe(frame)
+            self.n_lost_frames = 0
+        else:
+            self.state = TrackState.LOST
+            self.velocity = None
+            self.n_lost_frames += 1
+
+        self._log_frame(frame, lost=not ok)
+        self.last_frame = frame
+        return frame.pose if ok else None
+
+    def _log_frame(self, frame: Frame, lost: bool):
+        if frame.pose is None or self.ref_kf < 0:
+            self.frame_log.append((frame.timestamp, -1, np.eye(3, 4, dtype=np.float32), True))
+            return
+        T_ref = self.map.kf_pose[self.ref_kf]
+        T_rel = se3_np.compose(frame.pose, se3_np.inverse(T_ref))
+        self.frame_log.append((frame.timestamp, self.ref_kf, T_rel, lost))
+
+    # --------------------------------------------------------- initialization
+    def _monocular_initialization(self, frame: Frame):
+        if self.init_ref is None or self.init_ref.n_valid < 100:
+            self.init_ref = frame if frame.n_valid > 100 else None
+            return
+        if frame.n_valid <= 100:
+            self.init_ref = None
+            return
+        ref = self.init_ref
+        res = M.search_for_initialization(
+            jnp.asarray(ref.xy), jnp.asarray(ref.desc), jnp.asarray(ref.valid),
+            jnp.asarray(ref.angle), jnp.asarray(frame.xy), jnp.asarray(frame.desc),
+            jnp.asarray(frame.valid), jnp.asarray(frame.angle))
+        idx = _np(res.idx)
+        n_matches = int((idx >= 0).sum())
+        if n_matches < 100:  # src/Tracking.cpp:784-790
+            self.init_ref = None
+            return
+        m = idx >= 0
+        xy2 = np.zeros_like(ref.xy)
+        xy2[m] = frame.xy[idx[m]]
+        tv = TV.initialize_two_view(
+            self._next_key(), jnp.asarray(ref.xy), jnp.asarray(xy2),
+            jnp.asarray(m), jnp.asarray(self.K))
+        if not bool(tv.success):
+            return
+        good = _np(tv.good) & m
+        if good.sum() < 50:
+            return
+        X = _np(tv.points3d)
+        self._create_initial_map_monocular(ref, frame, idx, good, _np(tv.R), _np(tv.t), X)
+
+    def _create_initial_map_monocular(self, ref: Frame, frame: Frame, idx,
+                                      good, R, t, X):
+        """CreateInitialMapMonocular (src/Tracking.cpp:834-1004)."""
+        mp = self.map
+        T0 = np.hstack([np.eye(3), np.zeros((3, 1))]).astype(np.float32)
+        T1 = np.hstack([R, t[:, None]]).astype(np.float32)
+        ref.pose = T0
+        frame.pose = T1
+
+        pt_ids = mp.add_points(X[good].astype(np.float32),
+                               ref.desc[good], ref_kf=0, first_kf=0)
+        pt_of_ref = np.full(ref.capacity, -1, np.int32)
+        pt_of_ref[np.flatnonzero(good)] = pt_ids
+        pt_of_cur = np.full(frame.capacity, -1, np.int32)
+        pt_of_cur[idx[good]] = pt_ids
+
+        k0 = mp.add_keyframe(T0, ref.timestamp, ref.frame_id, ref.xy, ref.octave,
+                             ref.angle, ref.desc, ref.valid, pt_of_ref)
+        k1 = mp.add_keyframe(T1, frame.timestamp, frame.frame_id, frame.xy,
+                             frame.octave, frame.angle, frame.desc, frame.valid,
+                             pt_of_cur)
+        mp.pt_ref_kf[pt_ids] = k1
+
+        # global BA on the initial map, 20 iters (src/Tracking.cpp:907)
+        if self.local_mapper is not None:
+            self.local_mapper.run_ba([k0, k1], fixed=[k0], iters=(5, 15))
+
+        # median-depth scale normalization (src/Tracking.cpp:913-938)
+        pc = mp.pt_xyz[pt_ids] @ mp.kf_pose[k0, :, :3].T + mp.kf_pose[k0, :, 3]
+        median_depth = float(np.median(pc[:, 2]))
+        if median_depth < 0 or (mp.kf_pt[k1] >= 0).sum() < 80:
+            self._reset_initialization(pt_ids, [k0, k1])
+            return
+        inv = 1.0 / median_depth
+        mp.kf_pose[k1, :, 3] *= inv
+        mp.pt_xyz[pt_ids] *= inv
+        mp.refresh_point_stats(pt_ids)
+
+        frame.pose = mp.kf_pose[k1].copy()
+        frame.pt_idx = pt_of_cur
+        self.ref_kf = k1
+        self.last_kf_frame_id = frame.frame_id
+        self.last_frame = frame
+        self.init_ref = None
+        self.state = TrackState.OK
+
+    def _reset_initialization(self, pt_ids, kfs):
+        self.map.remove_points(pt_ids)
+        for k in kfs:
+            self.map.remove_keyframe(k)
+        self.init_ref = None
+
+    def _stereo_initialization(self, frame: Frame):
+        """StereoInitialization (src/Tracking.cpp:637-727): single-frame
+        bootstrap from depth."""
+        if frame.n_valid < 500:
+            return
+        mp = self.map
+        frame.pose = np.hstack([np.eye(3), np.zeros((3, 1))]).astype(np.float32)
+        has_depth = (frame.depth > 0) & frame.valid
+        ids = np.flatnonzero(has_depth)
+        if len(ids) < 100:
+            return
+        z = frame.depth[ids]
+        cam = self.cfg.camera
+        x = (frame.xy[ids, 0] - cam.cx) / cam.fx * z
+        y = (frame.xy[ids, 1] - cam.cy) / cam.fy * z
+        X = np.stack([x, y, z], -1).astype(np.float32)
+        pt_ids = mp.add_points(X, frame.desc[ids], ref_kf=0, first_kf=0)
+        pt_of = np.full(frame.capacity, -1, np.int32)
+        pt_of[ids] = pt_ids
+        mp.add_keyframe(frame.pose, frame.timestamp, frame.frame_id, frame.xy,
+                        frame.octave, frame.angle, frame.desc, frame.valid,
+                        pt_of, depth=frame.depth, ur=frame.ur)
+        mp.refresh_point_stats(pt_ids)
+        frame.pt_idx = pt_of
+        self.ref_kf = 0
+        self.last_kf_frame_id = frame.frame_id
+        self.last_frame = frame
+        self.state = TrackState.OK
+
+    # --------------------------------------------------------------- tracking
+    def _track_with_motion_model(self, frame: Frame) -> bool:
+        """TrackWithMotionModel (src/Tracking.cpp:1161-1243)."""
+        last = self.last_frame
+        frame.pose = se3_np.compose(self.velocity, last.pose)
+        pt = last.pt_idx
+        ok = (pt >= 0) & self.map.pt_valid[np.clip(pt, 0, None)]
+        if ok.sum() < 10:
+            return False
+        cam = self.cfg.camera
+        th = 7.0 if self.cfg.sensor != Sensor.MONOCULAR else 15.0
+        for radius_th in (th, 2 * th):  # widening retry (src/Tracking.cpp:1192)
+            res = FM.match_motion_model(
+                jnp.asarray(frame.pose),
+                jnp.asarray(self.map.pt_xyz[np.clip(pt, 0, None)]),
+                jnp.asarray(ok),
+                jnp.asarray(self.map.pt_desc[np.clip(pt, 0, None)]),
+                jnp.asarray(last.octave),
+                jnp.asarray(frame.xy), jnp.asarray(frame.octave),
+                jnp.asarray(frame.desc), jnp.asarray(frame.valid),
+                jnp.asarray(self.sf),
+                cam.fx, cam.fy, cam.cx, cam.cy, float(radius_th),
+                self.cfg.orb.n_levels, float(np.log(self.cfg.orb.scale_factor)))
+            midx = _np(res.idx)
+            n = int((midx >= 0).sum())
+            if n >= 20:
+                break
+        if n < 20:
+            return False
+        frame.pt_idx = np.full(frame.capacity, -1, np.int32)
+        src = np.flatnonzero(midx >= 0)
+        frame.pt_idx[midx[src]] = pt[src]
+        n_inl = self._pose_optimize(frame)
+        self.matches_inliers = n_inl
+        return n_inl >= 10
+
+    def _track_reference_keyframe(self, frame: Frame) -> bool:
+        """TrackReferenceKeyFrame (src/Tracking.cpp:1007-1063)."""
+        if self.ref_kf < 0:
+            return False
+        mp = self.map
+        k = self.ref_kf
+        has_pt = mp.kf_pt[k] >= 0
+        res = FM.match_descriptors_ratio(
+            jnp.asarray(mp.kf_desc[k]), jnp.asarray(has_pt),
+            jnp.asarray(mp.kf_angle[k]),
+            jnp.asarray(frame.desc), jnp.asarray(frame.valid),
+            jnp.asarray(frame.angle))
+        midx = _np(res.idx)
+        n = int((midx >= 0).sum())
+        if n < 15:
+            return False
+        frame.pose = (self.last_frame.pose.copy()
+                      if self.last_frame is not None and self.last_frame.pose is not None
+                      else mp.kf_pose[k].copy())
+        frame.pt_idx = np.full(frame.capacity, -1, np.int32)
+        src = np.flatnonzero(midx >= 0)
+        frame.pt_idx[midx[src]] = mp.kf_pt[k, src]
+        n_inl = self._pose_optimize(frame)
+        self.matches_inliers = n_inl
+        return n_inl >= 10
+
+    def _relocalize(self, frame: Frame) -> bool:
+        if self.relocalizer is None:
+            return self._track_reference_keyframe(frame)
+        ok = self.relocalizer.relocalize(frame)
+        if ok:
+            self.matches_inliers = int((frame.pt_idx >= 0).sum())
+        return ok
+
+    def _track_local_map(self, frame: Frame) -> bool:
+        """TrackLocalMap (src/Tracking.cpp:1247-1306) + SearchLocalPoints."""
+        mp = self.map
+        cur_pts = frame.pt_idx[frame.pt_idx >= 0]
+        if len(cur_pts) == 0:
+            return False
+        # K1: keyframes observing current points, ordered by votes
+        # (UpdateLocalKeyFrames, src/Tracking.cpp:1665-1760)
+        seen = np.zeros(mp.pt_xyz.shape[0], bool)
+        seen[cur_pts] = True
+        votes = (seen[np.clip(mp.kf_pt, 0, None)] & (mp.kf_pt >= 0)).sum(axis=1)
+        votes[~mp.kf_valid] = 0
+        k1 = np.flatnonzero(votes > 0)
+        if len(k1) == 0:
+            return False
+        best_kf = int(k1[np.argmax(votes[k1])])
+        self.ref_kf = best_kf
+        local_kfs = list(k1[np.argsort(-votes[k1])][:60])
+        for k in local_kfs[:10]:
+            for kn in mp.covisible_kfs(k, 10):
+                if kn not in local_kfs:
+                    local_kfs.append(int(kn))
+            if len(local_kfs) >= 80:  # cap (src/Tracking.cpp:1730)
+                break
+        local_kfs = local_kfs[:80]
+
+        # local points (UpdateLocalPoints, src/Tracking.cpp:1630-1663)
+        lp = np.unique(mp.kf_pt[local_kfs])
+        lp = lp[(lp >= 0) & mp.pt_valid[np.clip(lp, 0, None)]]
+        cap = self.cfg.local_points_cap
+        if len(lp) > cap:
+            lp = lp[:cap]
+        P = cap
+        pad = P - len(lp)
+        lp_pad = np.concatenate([lp, np.zeros(pad, lp.dtype)])
+        pvalid = np.concatenate([np.ones(len(lp), bool), np.zeros(pad, bool)])
+        already = np.concatenate([np.isin(lp, cur_pts), np.zeros(pad, bool)])
+
+        cam = self.cfg.camera
+        th = 3.0 if self.n_lost_frames > 0 else 1.0
+        res, in_frustum = FM.match_local_points(
+            jnp.asarray(frame.pose), jnp.asarray(mp.pt_xyz[lp_pad]),
+            jnp.asarray(pvalid), jnp.asarray(mp.pt_desc[lp_pad]),
+            jnp.asarray(mp.pt_normal[lp_pad]), jnp.asarray(mp.pt_min_dist[lp_pad]),
+            jnp.asarray(mp.pt_max_dist[lp_pad]), jnp.asarray(already),
+            jnp.asarray(frame.xy), jnp.asarray(frame.octave),
+            jnp.asarray(frame.desc), jnp.asarray(frame.valid),
+            jnp.asarray(self.sf), cam.fx, cam.fy, cam.cx, cam.cy,
+            cam.width, cam.height, self.cfg.orb.n_levels,
+            float(np.log(self.cfg.orb.scale_factor)), float(th))
+        midx = _np(res.idx)
+        frus = _np(in_frustum)
+        # IncreaseVisible for frustum points + currently matched
+        mp.pt_visible[lp_pad[frus & pvalid]] += 1
+        mp.pt_visible[cur_pts] += 1
+        # bind new associations (only unmatched keypoints get them)
+        src = np.flatnonzero(midx >= 0)
+        for s in src:
+            kp = midx[s]
+            if frame.pt_idx[kp] < 0:
+                frame.pt_idx[kp] = lp_pad[s]
+
+        n_inl = self._pose_optimize(frame)
+        matched = frame.pt_idx[frame.pt_idx >= 0]
+        mp.pt_found[matched] += 1
+        self.matches_inliers = n_inl
+        # stricter right after relocalization (src/Tracking.cpp:1294-1300)
+        need = 50 if self.n_lost_frames > 0 else 30
+        return n_inl >= need
+
+    # -------------------------------------------------------------- keyframes
+    def _need_new_keyframe(self, frame: Frame) -> bool:
+        """NeedNewKeyFrame (src/Tracking.cpp:1308-1434), simplified to the
+        c1a/c1b/c2 core; queue backpressure is irrelevant (mapping runs
+        synchronously or as bounded async stages)."""
+        if self.ref_kf < 0:
+            return False
+        mp = self.map
+        min_obs = 3 if mp.n_keyframes > 2 else 2
+        obs_counts = mp.point_obs_count()
+        ref_pts = mp.kf_pt[self.ref_kf]
+        ref_matches = int(((ref_pts >= 0) &
+                           (obs_counts[np.clip(ref_pts, 0, None)] >= min_obs)).sum())
+        frames_since = frame.frame_id - self.last_kf_frame_id
+        c1a = frames_since >= self.cfg.max_frames_between_kf
+        c1b = frames_since >= self.cfg.min_frames_between_kf and \
+            self.matches_inliers < 0.9 * ref_matches
+        c2 = self.matches_inliers < 0.9 * ref_matches and self.matches_inliers > 15
+        return bool((c1a or c1b) and c2) or (c1a and self.matches_inliers > 15)
+
+    def _create_keyframe(self, frame: Frame):
+        """CreateNewKeyFrame (src/Tracking.cpp:1436-1534). For stereo/RGB-D,
+        spawn close-depth points for unmatched features (:1459-1519)."""
+        mp = self.map
+        k = mp.add_keyframe(frame.pose, frame.timestamp, frame.frame_id,
+                            frame.xy, frame.octave, frame.angle, frame.desc,
+                            frame.valid, frame.pt_idx,
+                            depth=frame.depth, ur=frame.ur)
+        if self.cfg.sensor != Sensor.MONOCULAR:
+            self._spawn_depth_points(frame, k)
+        self.ref_kf = k
+        self.last_kf_frame_id = frame.frame_id
+        if self.local_mapper is not None:
+            self.local_mapper.process(k)
+            frame.pose = mp.kf_pose[k].copy()
+
+    def _spawn_depth_points(self, frame: Frame, k: int):
+        close = (frame.depth > 0) & (frame.depth < self.cfg.close_depth_threshold) \
+            & frame.valid & (frame.pt_idx < 0)
+        ids = np.flatnonzero(close)
+        # reference inserts the 100 closest even beyond threshold (:1477-1487)
+        if len(ids) == 0:
+            return
+        cam = self.cfg.camera
+        mp = self.map
+        Twc_R = mp.kf_pose[k, :, :3].T
+        Ow = -Twc_R @ mp.kf_pose[k, :, 3]
+        z = frame.depth[ids]
+        x = (frame.xy[ids, 0] - cam.cx) / cam.fx * z
+        y = (frame.xy[ids, 1] - cam.cy) / cam.fy * z
+        Xc = np.stack([x, y, z], -1)
+        Xw = Xc @ Twc_R.T + Ow
+        pt_ids = mp.add_points(Xw.astype(np.float32), frame.desc[ids],
+                               ref_kf=k, first_kf=k)
+        mp.kf_pt[k, ids] = pt_ids
+        frame.pt_idx[ids] = pt_ids
+        mp.refresh_point_stats(pt_ids)
+
+    # ------------------------------------------------------------- trajectory
+    def trajectory(self):
+        """Recover the full frame trajectory by chaining relative poses
+        through (possibly BA-corrected) reference keyframes
+        (System::SaveTrajectoryTUM, src/System.cpp:307-370)."""
+        out_ts, out_T = [], []
+        for ts, ref, T_rel, lost in self.frame_log:
+            if ref < 0:
+                continue
+            T_ref = self.map.resolve_kf_pose(ref)
+            if T_ref is None:
+                continue
+            T = se3_np.compose(T_rel, T_ref)
+            out_ts.append(ts)
+            out_T.append(T)
+        return np.array(out_ts), (np.stack(out_T) if out_T else
+                                  np.zeros((0, 3, 4), np.float32))

@@ -18,3 +18,5 @@ import jax  # noqa: E402
 # jax may already have been imported (pytest plugins), in which case the env
 # var was captured too early — force the config directly.
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
