@@ -17,11 +17,19 @@ import numpy as np
 @dataclass
 class SynthScene:
     pts: np.ndarray        # [M, 3] world points
-    intensity: np.ndarray  # [M]
+    subtex: np.ndarray     # [M, S, S] per-square texture: makes each square's
+    #                        corners DISTINCTIVE (uniform squares alias —
+    #                        every bright-square corner gets the same rotated
+    #                        BRIEF descriptor, which systematically mismatches
+    #                        to neighboring squares and biases BA)
     size_world: np.ndarray  # [M] half-size in meters
     K: np.ndarray          # [3, 3]
     width: int
     height: int
+
+    @property
+    def intensity(self):  # mean brightness, kept for older callers
+        return self.subtex.mean(axis=(1, 2))
 
 
 def make_scene(seed=0, n_pts=600, width=640, height=480,
@@ -33,12 +41,14 @@ def make_scene(seed=0, n_pts=600, width=640, height=480,
         rng.uniform(-spread[1], spread[1], n_pts),
         rng.uniform(*depth_range, n_pts),
     ], -1).astype(np.float32)
-    # alternate dark/bright squares for strong corners on the gray background
-    inten = np.where(rng.random(n_pts) < 0.5,
-                     rng.uniform(0, 60, n_pts), rng.uniform(190, 255, n_pts))
+    # unique 3x3 high-contrast texture per square
+    subtex = rng.uniform(0, 255, (n_pts, 3, 3)).astype(np.float32)
+    # push cells away from the background gray for strong corners
+    subtex = np.where(subtex > 128, np.maximum(subtex, 180.0),
+                      np.minimum(subtex, 70.0))
     size = rng.uniform(0.03, 0.07, n_pts).astype(np.float32)
     K = np.array([[fx, 0, width / 2], [0, fy, height / 2], [0, 0, 1]], np.float32)
-    return SynthScene(pts, inten.astype(np.float32), size, K, width, height)
+    return SynthScene(pts, subtex, size, K, width, height)
 
 
 def render(scene: SynthScene, Tcw: np.ndarray, noise=1.5, seed=0) -> np.ndarray:
@@ -52,6 +62,7 @@ def render(scene: SynthScene, Tcw: np.ndarray, noise=1.5, seed=0) -> np.ndarray:
     v = scene.K[1, 1] * uv[:, 1] + scene.K[1, 2]
     half = scene.size_world * scene.K[0, 0] / np.maximum(z, 1e-6)
     img = np.full((scene.height, scene.width), 128.0, np.float32)
+    S = scene.subtex.shape[1]
     order = np.argsort(-z)
     for i in order:
         if not vis[i]:
@@ -61,11 +72,145 @@ def render(scene: SynthScene, Tcw: np.ndarray, noise=1.5, seed=0) -> np.ndarray:
         y0, y1 = int(v[i] - h), int(v[i] + h) + 1
         if x1 <= 0 or y1 <= 0 or x0 >= scene.width or y0 >= scene.height:
             continue
-        img[max(y0, 0):min(y1, scene.height), max(x0, 0):min(x1, scene.width)] = scene.intensity[i]
+        xs0, xs1 = max(x0, 0), min(x1, scene.width)
+        ys0, ys1 = max(y0, 0), min(y1, scene.height)
+        # nearest-neighbor sample of the square's SxS texture
+        cx = np.clip(((np.arange(xs0, xs1) - x0) * S) // max(x1 - x0, 1), 0, S - 1)
+        cy = np.clip(((np.arange(ys0, ys1) - y0) * S) // max(y1 - y0, 1), 0, S - 1)
+        img[ys0:ys1, xs0:xs1] = scene.subtex[i][np.ix_(cy, cx)]
     if noise > 0:
         rng = np.random.default_rng(seed)
         img = img + rng.normal(0, noise, img.shape).astype(np.float32)
     return np.clip(img, 0, 255)
+
+
+@dataclass
+class RoomScene:
+    """Textured 3-plane room rendered by exact ray-plane intersection with
+    bilinear texture sampling — realistic subpixel imaging for e2e/ATE tests
+    (the square-sprite scene above quantizes to the pixel grid and its
+    repeated corners alias descriptors)."""
+
+    planes: list  # (origin, normal, bu, bv, texture, tex_scale)
+    K: np.ndarray
+    width: int
+    height: int
+
+    def ray_depths(self, Tcw: np.ndarray):
+        """Per-pixel hit (plane index, depth) for a camera pose."""
+        R, t = Tcw[:3, :3], Tcw[:3, 3]
+        Rwc = R.T
+        C = -Rwc @ t
+        H, W = self.height, self.width
+        xs = (np.arange(W) - self.K[0, 2]) / self.K[0, 0]
+        ys = (np.arange(H) - self.K[1, 2]) / self.K[1, 1]
+        dirs_cam = np.stack(np.broadcast_arrays(
+            xs[None, :, None] * np.ones((H, 1, 1)),
+            ys[:, None, None] * np.ones((1, W, 1)),
+            np.ones((H, W, 1))), -1)[..., 0, :]  # [H, W, 3]
+        dirs = dirs_cam @ Rwc.T
+        best_t = np.full((H, W), np.inf, np.float64)
+        best_i = np.full((H, W), -1, np.int32)
+        for i, (o, n, bu, bv, tex, sc) in enumerate(self.planes):
+            denom = dirs @ n
+            tt = ((o - C) @ n) / np.where(np.abs(denom) > 1e-9, denom, 1e-9)
+            hit = (tt > 0.3) & (np.abs(denom) > 1e-9)
+            # depth along camera z = t * dir_cam_z (dir_cam z = 1) => t is
+            # the z-depth scale directly since dirs_cam[...,2]=1
+            closer = hit & (tt < best_t)
+            best_t = np.where(closer, tt, best_t)
+            best_i = np.where(closer, i, best_i)
+        return best_i, best_t, C, dirs
+
+
+def _bilinear(tex, u, v):
+    th, tw = tex.shape
+    u = np.clip(u, 0, tw - 1.001)
+    v = np.clip(v, 0, th - 1.001)
+    u0 = u.astype(np.int64)
+    v0 = v.astype(np.int64)
+    fu = u - u0
+    fv = v - v0
+    return (tex[v0, u0] * (1 - fu) * (1 - fv) + tex[v0, u0 + 1] * fu * (1 - fv)
+            + tex[v0 + 1, u0] * (1 - fu) * fv + tex[v0 + 1, u0 + 1] * fu * fv)
+
+
+def _corner_texture(rng, size=1024, min_block=5, max_block=19):
+    """APERIODIC blocky random texture: random-width row/column partitions
+    filled with random intensities. A regular grid (fixed block size) makes
+    every corner repeat at one period — tracking then locks onto the
+    neighboring block's identical corner once the prediction error reaches
+    the period, and the error grows geometrically (observed runaway)."""
+    def cuts():
+        edges = [0]
+        while edges[-1] < size:
+            edges.append(edges[-1] + int(rng.integers(min_block, max_block)))
+        edges[-1] = size
+        return np.array(edges)
+
+    rows = cuts()
+    cols = cuts()
+    cell = rng.uniform(20, 235, (len(rows) - 1, len(cols) - 1))
+    ridx = np.searchsorted(rows, np.arange(size), side="right") - 1
+    cidx = np.searchsorted(cols, np.arange(size), side="right") - 1
+    tex = cell[np.ix_(ridx, cidx)]
+    # light smoothing for gradients
+    k = np.array([0.25, 0.5, 0.25])
+    for ax in (0, 1):
+        tex = (np.take(tex, np.clip(np.arange(size) - 1, 0, size - 1), ax) * k[0]
+               + tex * k[1]
+               + np.take(tex, np.clip(np.arange(size) + 1, 0, size - 1), ax) * k[2])
+    return tex.astype(np.float32)
+
+
+def make_room(seed=0, width=640, height=480, fx=500.0, fy=500.0,
+              depth=8.0, half_w=4.5, half_h=3.0) -> RoomScene:
+    rng = np.random.default_rng(seed)
+    K = np.array([[fx, 0, width / 2], [0, fy, height / 2], [0, 0, 1]], np.float32)
+    texel = 60.0  # texture pixels per meter
+    planes = []
+    # back wall at z = depth
+    planes.append((np.array([0.0, 0.0, depth]), np.array([0.0, 0.0, -1.0]),
+                   np.array([1.0, 0.0, 0.0]), np.array([0.0, 1.0, 0.0]),
+                   _corner_texture(rng), texel))
+    # left wall at x = -half_w and right wall at x = +half_w
+    planes.append((np.array([-half_w, 0.0, 0.0]), np.array([1.0, 0.0, 0.0]),
+                   np.array([0.0, 0.0, 1.0]), np.array([0.0, 1.0, 0.0]),
+                   _corner_texture(rng), texel))
+    planes.append((np.array([half_w, 0.0, 0.0]), np.array([-1.0, 0.0, 0.0]),
+                   np.array([0.0, 0.0, 1.0]), np.array([0.0, 1.0, 0.0]),
+                   _corner_texture(rng), texel))
+    # floor y = +half_h, ceiling y = -half_h
+    planes.append((np.array([0.0, half_h, 0.0]), np.array([0.0, -1.0, 0.0]),
+                   np.array([1.0, 0.0, 0.0]), np.array([0.0, 0.0, 1.0]),
+                   _corner_texture(rng), texel))
+    planes.append((np.array([0.0, -half_h, 0.0]), np.array([0.0, 1.0, 0.0]),
+                   np.array([1.0, 0.0, 0.0]), np.array([0.0, 0.0, 1.0]),
+                   _corner_texture(rng), texel))
+    return RoomScene(planes, K, width, height)
+
+
+def render_room(scene: RoomScene, Tcw: np.ndarray, noise=1.0, seed=0):
+    best_i, best_t, C, dirs = scene.ray_depths(Tcw)
+    img = np.full((scene.height, scene.width), 90.0, np.float32)
+    for i, (o, n, bu, bv, tex, sc) in enumerate(scene.planes):
+        m = best_i == i
+        if not m.any():
+            continue
+        X = C[None, :] + best_t[m][:, None] * dirs[m]
+        u = ((X - o) @ bu) * sc + tex.shape[1] * 0.5
+        v = ((X - o) @ bv) * sc + tex.shape[0] * 0.5
+        img[m] = _bilinear(tex, u, v)
+    if noise > 0:
+        rng = np.random.default_rng(seed)
+        img = img + rng.normal(0, noise, img.shape).astype(np.float32)
+    return np.clip(img, 0, 255).astype(np.float32)
+
+
+def depth_room(scene: RoomScene, Tcw: np.ndarray):
+    best_i, best_t, _, _ = scene.ray_depths(Tcw)
+    d = np.where(best_i >= 0, best_t, 0.0)
+    return d.astype(np.float32)
 
 
 def orbit_trajectory(n_frames: int, radius=0.8, forward=0.0, seed=0):
@@ -85,6 +230,22 @@ def orbit_trajectory(n_frames: int, radius=0.8, forward=0.0, seed=0):
         Rcw = Rwc.T
         tcw = -Rcw @ C
         poses.append(np.hstack([Rcw, tcw[:, None]]).astype(np.float32))
+    return np.stack(poses)
+
+
+def loop_trajectory(n_frames: int, radius=1.5, seed=0):
+    """Closed circular path inside the room, camera facing outward: the end
+    revisits the start (the loop-closure workload). Returns [F, 3, 4] Tcw."""
+    poses = []
+    for i in range(n_frames):
+        a = 2 * np.pi * i / n_frames
+        # camera center on the circle, looking radially outward
+        C = np.array([radius * np.sin(a), 0.0, -radius * np.cos(a)], np.float32)
+        yaw = a
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        Rwc = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]], np.float32)
+        Rcw = Rwc.T
+        poses.append(np.hstack([Rcw, (-Rcw @ C)[:, None]]).astype(np.float32))
     return np.stack(poses)
 
 

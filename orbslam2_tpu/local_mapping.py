@@ -36,21 +36,38 @@ def _bucket(n: int, buckets) -> int:
 
 
 class LocalMapper:
-    def __init__(self, cfg: SlamConfig, mp: MapState, loop_closer=None):
+    def __init__(self, cfg: SlamConfig, mp: MapState, loop_closer=None,
+                 kf_db=None, bow_encode=None):
         self.cfg = cfg
         self.map = mp
         self.loop_closer = loop_closer
+        self.kf_db = kf_db
+        self.bow_encode = bow_encode
         self.sf = F.scale_factors(cfg.orb)
         self.sigma2 = F.sigma2_per_octave(cfg.orb)
         # recent points: pt_id -> kf index at birth (for culling rules)
         self.recent: dict[int, int] = {}
         self.kf_counter = 0
 
+    def register_keyframe(self, kf: int):
+        """BoW transform + place-recognition index insert
+        (ProcessNewKeyFrame's ComputeBoW + KeyFrameDatabase::add)."""
+        if self.kf_db is not None and self.bow_encode is not None:
+            vec = self.bow_encode(self.map.kf_desc[kf],
+                                  self.map.kf_feat_valid[kf])
+            self.kf_db.add(kf, vec)
+
     # ---------------------------------------------------------------- process
     def process(self, kf: int):
         """ProcessNewKeyFrame + the per-KF pipeline (LocalMapping::Run,
         src/LocalMapping.cpp:48-170)."""
         self.kf_counter += 1
+        self.register_keyframe(kf)
+        # spanning-tree parent: most covisible KF at insertion
+        if self.map.kf_parent[kf] < 0:
+            w = self.map.covisibility_weights(kf)
+            if w.max() > 0:
+                self.map.kf_parent[kf] = int(np.argmax(w))
         self.map.refresh_point_stats(np.unique(self.map.kf_pt[kf][self.map.kf_pt[kf] >= 0]))
         self.cull_recent_points()
         self.create_new_points(kf)
@@ -99,6 +116,8 @@ class LocalMapper:
             redundant = (obs_counts[np.clip(pts, 0, None)] >= 4) & has
             if redundant.sum() > 0.9 * n_pts:
                 mp.remove_keyframe(k)
+                if self.kf_db is not None:
+                    self.kf_db.erase(k)
 
     # ----------------------------------------------------------- new points
     def create_new_points(self, kf: int):
@@ -262,14 +281,23 @@ class LocalMapper:
             ((seen[np.clip(mp.kf_pt, 0, None)] & (mp.kf_pt >= 0)).any(axis=1))
             & mp.kf_valid)
         fixed = [int(k) for k in observers if int(k) not in local][:8]
-        # always fix the gauge: oldest local KF(s) (the reference fixes KF 0;
-        # also fix one more cam when the window would be gauge-deficient)
+        # gauge fixing: fixed second ring when present; in monocular ALWAYS
+        # keep two anchors (the two oldest cams in the window) — with a
+        # single fixed camera the scale direction is damped-only and drifts
+        # systematically (observed: map scale inflated ~2x over 12 frames,
+        # then velocity-feedback runaway)
         cams = local + fixed
         fixed_mask = np.zeros(len(cams), bool)
         fixed_mask[len(local):] = True
-        origin = int(np.argmin(mp.kf_frame_id[local]))
-        if not fixed_mask.any():
-            fixed_mask[origin] = True
+        order = np.argsort(mp.kf_frame_id[cams])
+        n_anchor = 2 if self.cfg.sensor == Sensor.MONOCULAR else 1
+        need = max(n_anchor - int(fixed_mask.sum()), 0)
+        for i in order[:]:
+            if need == 0:
+                break
+            if not fixed_mask[i]:
+                fixed_mask[i] = True
+                need -= 1
         if mp.kf_frame_id[cams].min() <= mp.kf_frame_id[mp.kf_valid].min():
             fixed_mask[int(np.argmin(mp.kf_frame_id[cams]))] = True
 

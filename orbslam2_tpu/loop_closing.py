@@ -1,0 +1,330 @@
+"""Loop closing: detect revisits, align with Sim(3), correct the map.
+
+TPU-native redesign of src/LoopClosing.cpp. The reference's loop thread +
+GBA sub-thread become a per-keyframe pipeline stage; each numeric stage is
+a batched device program:
+
+- DetectLoop (:118): min-score gate against covisible BoW scores, database
+  candidates, covisibility-consistency chaining across >= 3 consecutive
+  keyframes (mnCovisibilityConsistencyTh=3, :43)
+- ComputeSim3 (:289): per-candidate descriptor matching (>= 20), batched
+  Horn Sim3 RANSAC (ops/sim3_solver.py), loop-neighborhood projection
+  check (>= 40 total matches, :474-499)
+- CorrectLoop (:512): Sim3 propagation to the covisible group, point
+  remapping, loop-point fusion, essential-graph optimization
+  (ops/pose_graph.py), then a bounded global BA
+  (RunGlobalBundleAdjustment :811 — synchronous and bounded here; the
+  reference's abort flag maps to the bounded iteration budget)
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import SlamConfig, Sensor
+from .frontend import matcher as FM
+from .geometry import se3_np
+from .map.keyframe_db import KeyFrameDatabase
+from .map.mapstate import MapState
+from .ops import features as F
+from .ops import pose_graph as PG
+from .ops import sim3_solver as S3
+
+COVISIBILITY_CONSISTENCY_TH = 3  # src/LoopClosing.cpp:43
+
+
+class LoopCloser:
+    def __init__(self, cfg: SlamConfig, mp: MapState, kf_db: KeyFrameDatabase,
+                 local_mapper):
+        self.cfg = cfg
+        self.map = mp
+        self.kf_db = kf_db
+        self.local_mapper = local_mapper
+        self.sigma2 = F.sigma2_per_octave(cfg.orb)
+        self._key = jax.random.PRNGKey(23)
+        self.prev_groups: list[tuple[set, int]] = []
+        self.last_loop_counter = -100
+        self.kf_counter = 0
+        self.loop_edges: list[tuple[int, int]] = []
+        self.n_loops_closed = 0
+
+    # ------------------------------------------------------------------ entry
+    def process(self, kf: int) -> bool:
+        self.kf_counter += 1
+        if self.kf_counter - self.last_loop_counter < 10:  # :131
+            return False
+        if self.map.n_keyframes < 6:
+            return False
+        candidates = self._detect(kf)
+        if len(candidates) == 0:
+            return False
+        ok = self._compute_and_correct(kf, candidates)
+        if ok:
+            self.last_loop_counter = self.kf_counter
+            self.n_loops_closed += 1
+        return ok
+
+    # ----------------------------------------------------------------- detect
+    def _detect(self, kf: int) -> list[int]:
+        mp = self.map
+        covis = [int(k) for k in mp.covisible_kfs(kf, min_weight=15)]
+        if covis:
+            scores = 1.0 - 0.5 * np.abs(
+                self.kf_db.vectors[covis] - self.kf_db.vectors[kf][None]
+            ).sum(axis=1)
+            min_score = float(max(scores.min(), 0.0))  # :143-157
+        else:
+            min_score = 0.0
+        cand = self.kf_db.detect_loop_candidates(kf, min_score)
+        # covisibility-consistency chaining (:176-250)
+        new_groups: list[tuple[set, int]] = []
+        consistent_enough: list[int] = []
+        for c in cand:
+            group = {int(c)} | {int(x) for x in mp.covisible_kfs(int(c))}
+            count = 0
+            for prev_set, prev_count in self.prev_groups:
+                if group & prev_set:
+                    count = max(count, prev_count + 1)
+            new_groups.append((group, count))
+            if count >= COVISIBILITY_CONSISTENCY_TH - 1:
+                consistent_enough.append(int(c))
+        self.prev_groups = new_groups
+        return consistent_enough
+
+    # ----------------------------------------------------- sim3 + correction
+    def _compute_and_correct(self, kf: int, candidates: list[int]) -> bool:
+        mp = self.map
+        cam = self.cfg.camera
+        fix_scale = self.cfg.sensor != Sensor.MONOCULAR
+        for kc in candidates[:5]:
+            if not mp.kf_valid[kc]:
+                continue
+            # match features that carry map points in both keyframes (:327)
+            has1 = mp.kf_pt[kf] >= 0
+            has2 = mp.kf_pt[kc] >= 0
+            res = FM.match_descriptors_ratio(
+                jnp.asarray(mp.kf_desc[kf]), jnp.asarray(has1),
+                jnp.asarray(mp.kf_angle[kf]),
+                jnp.asarray(mp.kf_desc[kc]), jnp.asarray(has2),
+                jnp.asarray(mp.kf_angle[kc]))
+            midx = np.asarray(res.idx)
+            i1 = np.flatnonzero(midx >= 0)
+            if len(i1) < 20:  # :327-334
+                continue
+            i2 = midx[i1]
+            p_w1 = mp.pt_xyz[mp.kf_pt[kf, i1]]
+            p_w2 = mp.pt_xyz[mp.kf_pt[kc, i2]]
+            T1 = mp.kf_pose[kf]
+            T2 = mp.kf_pose[kc]
+            P1 = p_w1 @ T1[:, :3].T + T1[:, 3]
+            P2 = p_w2 @ T2[:, :3].T + T2[:, 3]
+            cap = 512
+            n = min(len(i1), cap)
+            pad = cap - n
+            P1p = np.concatenate([P1[:n], np.zeros((pad, 3), np.float32)])
+            P2p = np.concatenate([P2[:n], np.zeros((pad, 3), np.float32)])
+            s1 = self.sigma2[np.clip(mp.kf_octave[kf, i1[:n]], 0, 7)]
+            s2 = self.sigma2[np.clip(mp.kf_octave[kc, i2[:n]], 0, 7)]
+            s1 = np.concatenate([s1, np.ones(pad, np.float32)])
+            s2 = np.concatenate([s2, np.ones(pad, np.float32)])
+            vmask = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
+            self._key, sub = jax.random.split(self._key)
+            sr = S3.sim3_ransac(sub, jnp.asarray(P1p.astype(np.float32)),
+                                jnp.asarray(P2p.astype(np.float32)),
+                                jnp.asarray(s1), jnp.asarray(s2),
+                                jnp.asarray(vmask),
+                                cam.fx, cam.fy, cam.cx, cam.cy,
+                                fix_scale=fix_scale)
+            if int(sr.n_inliers) < 20:  # :409-412
+                continue
+            # loop-neighborhood support check (:440-499): project the loop
+            # region's points into kf with the corrected pose and count
+            # matches
+            s12, R12, t12 = float(sr.s), np.asarray(sr.R), np.asarray(sr.t)
+            n_support = self._loop_support(kf, kc, s12, R12, t12)
+            if n_support < 40:
+                continue
+            self._correct_loop(kf, kc, s12, R12, t12)
+            return True
+        return False
+
+    def _loop_points(self, kc: int) -> np.ndarray:
+        mp = self.map
+        region = [kc] + [int(x) for x in mp.covisible_kfs(kc, 10)]
+        pts = np.unique(mp.kf_pt[region])
+        pts = pts[pts >= 0]
+        return pts[mp.pt_valid[pts]]
+
+    def _loop_support(self, kf: int, kc: int, s12, R12, t12) -> int:
+        """Project loop-region points into kf via the corrected similarity
+        and count matches (ORBmatcher::SearchByProjection(Scw), + :474-499)."""
+        mp = self.map
+        cam = self.cfg.camera
+        pts = self._loop_points(kc)
+        if len(pts) == 0:
+            return 0
+        # corrected camera-from-world similarity: S_cw = S12 ∘ T2w
+        T2 = mp.kf_pose[kc]
+        Xc2 = mp.pt_xyz[pts] @ T2[:, :3].T + T2[:, 3]
+        Xc1 = s12 * (Xc2 @ R12.T) + t12
+        z = Xc1[:, 2]
+        u = cam.fx * Xc1[:, 0] / np.maximum(z, 1e-6) + cam.cx
+        v = cam.fy * Xc1[:, 1] / np.maximum(z, 1e-6) + cam.cy
+        ok = (z > 0.1) & (u >= 0) & (u < cam.width) & (v >= 0) & (v < cam.height)
+        if ok.sum() == 0:
+            return 0
+        # Hamming match within a 10px window
+        from .ops import matching as M
+        cap = self.cfg.local_points_cap
+        sel = np.flatnonzero(ok)[:cap]
+        pad = cap - len(sel)
+        uv = np.concatenate([np.stack([u[sel], v[sel]], -1),
+                             np.zeros((pad, 2))]).astype(np.float32)
+        desc = np.concatenate([mp.pt_desc[pts[sel]],
+                               np.zeros((pad, 8), np.uint32)])
+        pvalid = np.concatenate([np.ones(len(sel), bool), np.zeros(pad, bool)])
+        res = M.search_by_projection(
+            jnp.asarray(uv), jnp.zeros(cap, jnp.int32),
+            jnp.full(cap, 10.0), jnp.asarray(desc), jnp.asarray(pvalid),
+            jnp.asarray(mp.kf_xy[kf]), jnp.asarray(mp.kf_octave[kf]),
+            jnp.asarray(mp.kf_desc[kf]), jnp.asarray(mp.kf_feat_valid[kf]),
+            jnp.asarray(F.scale_factors(self.cfg.orb)),
+            max_dist=M.TH_LOW, ratio=None, level_window=(-8, 8))
+        self._support_matches = (pts[sel], np.asarray(res.idx)[:len(sel)])
+        return int((np.asarray(res.idx)[:len(sel)] >= 0).sum())
+
+    # ------------------------------------------------------------- correction
+    def _correct_loop(self, kf: int, kc: int, s12, R12, t12):
+        """CorrectLoop (src/LoopClosing.cpp:512-810)."""
+        mp = self.map
+        pre_pose = mp.kf_pose.copy()
+        group = [kf] + [int(x) for x in mp.covisible_kfs(kf)]
+
+        # corrected Sim3 of kf: S_cw = S12 ∘ T2w(kc)  (:548-557)
+        T2 = pre_pose[kc]
+        S_R = R12 @ T2[:, :3]
+        S_t = s12 * (R12 @ T2[:, 3]) + t12
+        S_s = s12
+
+        # propagate to covisible group via their relative SE3 to kf (:557-596)
+        corrected = {}
+        T1_inv = se3_np.inverse(pre_pose[kf])
+        for g in group:
+            T_rel = se3_np.compose(pre_pose[g], T1_inv)  # T_g_kf
+            # Sim3 compose: (1, T_rel) ∘ (S_s, S_R, S_t)
+            cg_R = T_rel[:, :3] @ S_R
+            cg_t = (T_rel[:, :3] @ S_t) + T_rel[:, 3]
+            corrected[g] = (S_s, cg_R, cg_t)
+
+        # remap the group's points: p' = S_corr^-1 (S_old p) (:598-632)
+        moved = set()
+        for g in group:
+            pts = mp.kf_pt[g]
+            pts = np.unique(pts[pts >= 0])
+            pts = pts[mp.pt_valid[pts]]
+            pts = np.array([p for p in pts if p not in moved], np.int64)
+            if len(pts) == 0:
+                continue
+            s_c, R_c, t_c = corrected[g]
+            T_old = pre_pose[g]
+            Xc = mp.pt_xyz[pts] @ T_old[:, :3].T + T_old[:, 3]  # old cam coords
+            # inverse of corrected Sim3: x_w = (1/s) R^T (x_c - t)
+            Xw = ((Xc - t_c) @ R_c) / s_c
+            mp.pt_xyz[pts] = Xw.astype(np.float32)
+            moved.update(int(p) for p in pts)
+
+        # write corrected SE3 poses (t / s demotion, :634-645)
+        for g, (s_c, R_c, t_c) in corrected.items():
+            mp.kf_pose[g] = np.hstack([R_c, (t_c / s_c)[:, None]]).astype(np.float32)
+
+        # loop-point fusion (:653-680): replace kf's matched points by the
+        # established loop points
+        if hasattr(self, "_support_matches"):
+            loop_pts, feat_idx = self._support_matches
+            for p, f_i in zip(loop_pts, feat_idx):
+                if f_i < 0:
+                    continue
+                existing = int(mp.kf_pt[kf, f_i])
+                if existing >= 0 and existing != int(p) and mp.pt_valid[existing]:
+                    mp.replace_point(existing, int(p))
+                elif existing < 0:
+                    mp.kf_pt[kf, f_i] = int(p)
+
+        # essential-graph optimization (:715; src/Optimizer.cpp:944)
+        self._optimize_essential_graph(kf, kc, pre_pose)
+        self.loop_edges.append((kf, kc))
+
+        # bounded global BA (RunGlobalBundleAdjustment :811)
+        kfs = [int(k) for k in mp.kf_ids]
+        self.local_mapper.run_ba(kfs, fixed=[kc], iters=(5, 10))
+
+    def _optimize_essential_graph(self, kf: int, kc: int, pre_pose):
+        mp = self.map
+        K = mp.kf_pose.shape[0]
+        valid = mp.kf_valid.copy()
+        ids = np.flatnonzero(valid)
+        # edges: spanning tree + strong covisibility (>=100) + loop edges
+        e_set = set()
+        for k in ids:
+            p = mp.kf_parent[k]
+            if p >= 0 and valid[p]:
+                e_set.add((int(k), int(p)))
+            w = mp.covisibility_weights(int(k))
+            for j in np.flatnonzero(w >= 100):
+                if valid[j]:
+                    e_set.add((min(int(k), int(j)), max(int(k), int(j))))
+        for (a, b) in self.loop_edges + [(kf, kc)]:
+            if valid[a] and valid[b]:
+                e_set.add((int(a), int(b)))
+        edges = sorted(e_set)
+        if not edges:
+            return
+        e_i = np.array([a for a, b in edges], np.int32)
+        e_j = np.array([b for a, b in edges], np.int32)
+
+        # measurements from pre-correction poses (the drifty odometry), except
+        # the new loop edge which uses the CURRENT (corrected) relative pose
+        ms, mR, mt = [], [], []
+        for (a, b) in edges:
+            if (a, b) == (kf, kc) or (a, b) == (kc, kf):
+                Ta, Tb = mp.kf_pose[a], mp.kf_pose[b]
+            else:
+                Ta, Tb = pre_pose[a], pre_pose[b]
+            T_rel = se3_np.compose(Ta, se3_np.inverse(Tb))
+            ms.append(1.0)
+            mR.append(T_rel[:, :3])
+            mt.append(T_rel[:, 3])
+
+        svals = np.ones(K, np.float32)
+        R = np.tile(np.eye(3, dtype=np.float32), (K, 1, 1))
+        t = np.zeros((K, 3), np.float32)
+        R[ids] = mp.kf_pose[ids][:, :, :3]
+        t[ids] = mp.kf_pose[ids][:, :, 3]
+        fixed = ~valid
+        fixed[kc] = True  # the loop keyframe anchors the graph (:1000)
+
+        pre_opt = mp.kf_pose.copy()
+        sv2, R2, t2, _ = PG.optimize_pose_graph(
+            jnp.asarray(svals), jnp.asarray(R), jnp.asarray(t),
+            jnp.asarray(fixed), jnp.asarray(e_i), jnp.asarray(e_j),
+            jnp.asarray(np.array(ms, np.float32)),
+            jnp.asarray(np.stack(mR).astype(np.float32)),
+            jnp.asarray(np.stack(mt).astype(np.float32)),
+            jnp.ones(len(edges), bool), iters=20)
+        sv2, R2, t2 = np.asarray(sv2), np.asarray(R2), np.asarray(t2)
+
+        # write back SE3-demoted poses and remap points via their ref KF
+        # (:1190-1260): p' = S_new^-1 ( S_old p )
+        pt_ids = np.flatnonzero(mp.pt_valid)
+        ref = mp.pt_ref_kf[pt_ids]
+        ref = np.where((ref >= 0) & mp.kf_valid[np.clip(ref, 0, None)], ref, kf)
+        for k in ids:
+            m = pt_ids[ref == k]
+            if len(m):
+                T_old = pre_opt[k]
+                Xc = mp.pt_xyz[m] @ T_old[:, :3].T + T_old[:, 3]
+                Xw = ((Xc - t2[k]) @ R2[k]) / sv2[k]
+                mp.pt_xyz[m] = Xw.astype(np.float32)
+            mp.kf_pose[k] = np.hstack([R2[k], (t2[k] / sv2[k])[:, None]]).astype(np.float32)
+        mp.refresh_point_stats(pt_ids)

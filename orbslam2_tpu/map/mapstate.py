@@ -93,6 +93,9 @@ class MapState:
         self.pt_first_kf = np.full(P, -1, np.int32)
         self.pt_visible = np.ones(P, np.float32)
         self.pt_found = np.ones(P, np.float32)
+        # spanning tree: parent = most covisible KF at insertion
+        # (KeyFrame::ChangeParent/AddChild, include/KeyFrame.h:77-82)
+        self.kf_parent = np.full(K, -1, np.int32)
         self.__post_init_extra__()
 
     # ------------------------------------------------------------------ slots
@@ -252,7 +255,14 @@ class MapState:
     # ------------------------------------------------------------ covisibility
     def covisibility_weights(self, k: int) -> np.ndarray:
         """Shared-point counts between keyframe k and all other keyframes
-        (KeyFrame::UpdateConnections, src/KeyFrame.cpp:377)."""
+        (KeyFrame::UpdateConnections, src/KeyFrame.cpp:377). Uses the native
+        C++ kernel when available (orbslam2_tpu/native)."""
+        from .. import native
+        w = native.covis_weights(self.kf_pt, self.kf_valid, k,
+                                 self.pt_xyz.shape[0])
+        if w is not None:
+            w[k] = 0
+            return w
         pts = self.kf_pt[k]
         pts = pts[pts >= 0]
         if len(pts) == 0:
@@ -279,6 +289,45 @@ class MapState:
             keep = order[:1]
         return keep[:n] if n is not None else keep
 
+    # ------------------------------------------------------------- checkpoint
+    _ARRAY_FIELDS = (
+        "kf_valid", "kf_pose", "kf_timestamp", "kf_frame_id", "kf_xy",
+        "kf_octave", "kf_angle", "kf_desc", "kf_depth", "kf_ur",
+        "kf_feat_valid", "kf_pt", "pt_valid", "pt_xyz", "pt_desc",
+        "pt_normal", "pt_min_dist", "pt_max_dist", "pt_ref_kf",
+        "pt_first_kf", "pt_visible", "pt_found", "kf_parent",
+    )
+
+    def save(self, path):
+        """Checkpoint the full map as one npz (the reference's SaveMap is an
+        unimplemented TODO, include/System.h:112-114 — the SoA layout makes
+        it a single savez here). Also serves multi-host recovery."""
+        arrays = {k: getattr(self, k) for k in self._ARRAY_FIELDS}
+        retired_k = np.array(list(self.kf_retired.keys()), np.int64)
+        retired_anchor = np.array([v[0] for v in self.kf_retired.values()], np.int64)
+        retired_T = (np.stack([v[1] for v in self.kf_retired.values()])
+                     if self.kf_retired else np.zeros((0, 3, 4), np.float32))
+        np.savez_compressed(path, n_feat=self.n_feat, next_kf_id=self.next_kf_id,
+                            retired_k=retired_k, retired_anchor=retired_anchor,
+                            retired_T=retired_T, **arrays)
+
+    @classmethod
+    def load(cls, path, cfg: SlamConfig) -> "MapState":
+        z = np.load(path)
+        mp = cls(cfg, int(z["n_feat"]))
+        for k in cls._ARRAY_FIELDS:
+            arr = z[k]
+            tgt = getattr(mp, k)
+            if arr.shape != tgt.shape:  # allow capacity growth across loads
+                sl = tuple(slice(0, min(a, b)) for a, b in zip(arr.shape, tgt.shape))
+                tgt[sl] = arr[sl]
+            else:
+                setattr(mp, k, arr.copy())
+        mp.next_kf_id = int(z["next_kf_id"])
+        for k, a, T in zip(z["retired_k"], z["retired_anchor"], z["retired_T"]):
+            mp.kf_retired[int(k)] = (int(a), T)
+        return mp
+
     # ------------------------------------------------------- derived refreshes
     def refresh_point_stats(self, pt_ids: np.ndarray, cam_centers=None):
         """Recompute medoid descriptor, mean normal and scale band for the
@@ -297,16 +346,28 @@ class MapState:
         R = self.kf_pose[kf, :, :3]
         t = self.kf_pose[kf, :, 3]
         centers = -np.einsum("nij,nj->ni", R.transpose(0, 2, 1), t)
+
+        # medoid descriptors over all groups at once via the native kernel
+        from .. import native
+        order = np.argsort(pt, kind="stable")
+        pt_s, kf_s, feat_s = pt[order], kf[order], feat[order]
+        uniq, starts = np.unique(pt_s, return_index=True)
+        offsets = np.concatenate([starts, [len(pt_s)]]).astype(np.int64)
+        descs_s = self.kf_desc[kf_s, feat_s]
+        med = native.medoid_descriptors(descs_s, offsets)
+        if med is not None:
+            self.pt_desc[uniq] = descs_s[med]
+
         for p in pt_ids:
             m = pt == p
             if not m.any():
                 continue
             kfs, feats = kf[m], feat[m]
-            descs = self.kf_desc[kfs, feats]  # [M, 8] uint32
-            # medoid: min summed Hamming distance
-            x = descs[:, None, :] ^ descs[None, :, :]
-            dist = np.unpackbits(x.view(np.uint8), axis=-1).sum(-1).sum(-1)
-            self.pt_desc[p] = descs[np.argmin(dist)]
+            if med is None:
+                descs = self.kf_desc[kfs, feats]  # [M, 8] uint32
+                x = descs[:, None, :] ^ descs[None, :, :]
+                dist = np.unpackbits(x.view(np.uint8), axis=-1).sum(-1).sum(-1)
+                self.pt_desc[p] = descs[np.argmin(dist)]
             # normal + distance band from the reference observation
             vecs = self.pt_xyz[p][None] - centers[m]
             norms = np.linalg.norm(vecs, axis=-1, keepdims=True)

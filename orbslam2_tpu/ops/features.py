@@ -437,6 +437,53 @@ def extract_orb(img, params: OrbParams, height: int, width: int) -> FrameFeature
     resp = jnp.concatenate(resp_list)
     valid = jnp.concatenate(valid_list)
 
+    # sub-pixel localization: 1D quadratic fits on a SMOOTH corner response
+    # (Harris) around each FAST peak. The FAST score itself is piecewise and
+    # its parabola fit carries a motion-correlated bias (~0.3 px) that, at
+    # low parallax, systematically inflates BA baselines (observed 2x
+    # translation drift). Harris on the blurred atlas is C1-smooth.
+    blur = gaussian_blur7_batched(atlas)
+    gx = 0.5 * (jnp.roll(blur, -1, axis=2) - jnp.roll(blur, 1, axis=2))
+    gy = 0.5 * (jnp.roll(blur, -1, axis=1) - jnp.roll(blur, 1, axis=1))
+
+    def box3(x):
+        s = x + jnp.roll(x, 1, 2) + jnp.roll(x, -1, 2)
+        return s + jnp.roll(s, 1, 1) + jnp.roll(s, -1, 1)
+
+    Ixx, Iyy, Ixy = box3(gx * gx), box3(gy * gy), box3(gx * gy)
+    resp_map = Ixx * Iyy - Ixy * Ixy - 0.04 * (Ixx + Iyy) ** 2
+    flat_resp = resp_map.reshape(-1)
+
+    def rsample(dy, dx):
+        xq = jnp.clip(xs + dx, 0, W0 - 1)
+        yq = jnp.clip(ys + dy, 0, H0 - 1)
+        return jnp.take(flat_resp, (lvl * H0 + yq) * W0 + xq)
+
+    # snap to the local Harris argmax within the 3x3 neighborhood of the
+    # FAST peak (the two responses peak up to 1px apart; fitting a parabola
+    # off-peak biases the refinement), then 1D quadratic fits there
+    neigh = jnp.stack([jnp.stack([rsample(dy, dx) for dx in (-1, 0, 1)], -1)
+                       for dy in (-1, 0, 1)], -2)  # [K, 3(dy), 3(dx)]
+    flat9 = neigh.reshape(-1, 9)
+    arg = jnp.argmax(flat9, axis=-1)
+    snap_dy = arg // 3 - 1
+    snap_dx = arg % 3 - 1
+    xs_s = jnp.clip(xs + snap_dx, 1, W0 - 2)
+    ys_s = jnp.clip(ys + snap_dy, 1, H0 - 2)
+
+    def rsample_s(dy, dx):
+        return jnp.take(flat_resp, (lvl * H0 + (ys_s + dy)) * W0 + (xs_s + dx))
+
+    c0 = rsample_s(0, 0)
+
+    def subpix(m, p):
+        denom = m - 2.0 * c0 + p
+        off = 0.5 * (m - p) / jnp.where(jnp.abs(denom) > 1e-6, denom, 1e6)
+        return jnp.clip(off, -0.5, 0.5)
+
+    dx_sub = (xs_s - xs) + subpix(rsample_s(0, -1), rsample_s(0, 1))
+    dy_sub = (ys_s - ys) + subpix(rsample_s(-1, 0), rsample_s(1, 0))
+
     # ---- orientation: batched circular-moment gather over the atlas ----
     mask_np, gx_np, gy_np = _ic_angle_masks()
     mask, gx, gy = jnp.asarray(mask_np), jnp.asarray(gx_np), jnp.asarray(gy_np)
@@ -450,7 +497,6 @@ def extract_orb(img, params: OrbParams, height: int, width: int) -> FrameFeature
     ang = jnp.arctan2(jnp.sum(pm * gy, axis=(1, 2)), jnp.sum(pm * gx, axis=(1, 2)))
 
     # ---- descriptors: rotated BRIEF gathers on the blurred atlas ----
-    blur = gaussian_blur7_batched(atlas)
     pat = jnp.asarray(brief_pattern())
     ca, sa = jnp.cos(ang), jnp.sin(ang)
 
@@ -475,7 +521,8 @@ def extract_orb(img, params: OrbParams, height: int, width: int) -> FrameFeature
 
     # ---- scale coords to level 0, pad to capacity ----
     sf = jnp.asarray(scale_factors(params))[lvl]
-    xy = jnp.stack([xs.astype(jnp.float32) * sf, ys.astype(jnp.float32) * sf], -1)
+    xy = jnp.stack([(xs.astype(jnp.float32) + dx_sub) * sf,
+                    (ys.astype(jnp.float32) + dy_sub) * sf], -1)
 
     feats = FrameFeatures(xy=xy, response=resp, angle=ang, octave=lvl,
                           desc=desc, valid=valid)

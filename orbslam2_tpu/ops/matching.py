@@ -27,7 +27,15 @@ BIG = jnp.int32(1 << 20)
 
 
 def hamming_matrix(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:
-    """[A, 8] u32 x [B, 8] u32 -> [A, B] int32 Hamming distances."""
+    """[A, 8] u32 x [B, 8] u32 -> [A, B] int32 Hamming distances.
+
+    On TPU backends with tile-aligned shapes this routes to the Pallas
+    kernel (ops/pallas_kernels.py); otherwise the XLA expression below
+    (identical results)."""
+    from . import pallas_kernels as PK
+    A, B = desc_a.shape[0], desc_b.shape[0]
+    if (PK.pallas_available() and A % PK.TILE_A == 0 and B % PK.TILE_B == 0):
+        return PK.hamming_matrix_pallas(desc_a, desc_b)
     x = jnp.bitwise_xor(desc_a[:, None, :], desc_b[None, :, :])
     return jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
 

@@ -1,0 +1,109 @@
+"""Dataset runner CLI — the reference's Examples/ drivers as one command.
+
+    python -m orbslam2_tpu.run_dataset mono_tum   <settings.yaml> <seq_dir>
+    python -m orbslam2_tpu.run_dataset rgbd_tum   <settings.yaml> <seq_dir> [assoc.txt]
+    python -m orbslam2_tpu.run_dataset stereo_kitti <settings.yaml> <seq_dir>
+    python -m orbslam2_tpu.run_dataset mono_kitti <settings.yaml> <seq_dir>
+    python -m orbslam2_tpu.run_dataset mono_euroc <settings.yaml> <mav0_dir>
+    python -m orbslam2_tpu.run_dataset stereo_euroc <settings.yaml> <mav0_dir>
+
+Options: --out-dir DIR (trajectory outputs), --max-frames N,
+--platform cpu|axon. Prints median/mean tracking time at the end (the
+reference drivers' instrumentation, Examples/Monocular/mono_tum.cc:112-120)
+and saves CameraTrajectory/KeyFrameTrajectory files (System::Save*).
+"""
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+
+MODES = {
+    "mono_tum": ("MONOCULAR", "tum_mono"),
+    "rgbd_tum": ("RGBD", "tum_rgbd"),
+    "stereo_kitti": ("STEREO", "kitti_stereo"),
+    "mono_kitti": ("MONOCULAR", "kitti_mono"),
+    "mono_euroc": ("MONOCULAR", "euroc_mono"),
+    "stereo_euroc": ("STEREO", "euroc_stereo"),
+}
+
+
+def main(argv=None):
+    argv = list(sys.argv[1:] if argv is None else argv)
+    platform = "cpu"
+    out_dir = Path(".")
+    max_frames = None
+    if "--platform" in argv:
+        i = argv.index("--platform"); platform = argv[i + 1]; del argv[i:i + 2]
+    if "--out-dir" in argv:
+        i = argv.index("--out-dir"); out_dir = Path(argv[i + 1]); del argv[i:i + 2]
+    if "--max-frames" in argv:
+        i = argv.index("--max-frames"); max_frames = int(argv[i + 1]); del argv[i:i + 2]
+    if len(argv) < 3 or argv[0] not in MODES:
+        print(__doc__)
+        return 2
+    mode, settings, seq = argv[0], argv[1], argv[2]
+    assoc = argv[3] if len(argv) > 3 else None
+
+    import jax
+    jax.config.update("jax_platforms", platform)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_" + platform)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    import numpy as np
+    from .config import Sensor, load_settings
+    from .io import datasets as D
+    from .system import System
+
+    sensor_name, loader = MODES[mode]
+    sensor = Sensor[sensor_name]
+    cfg = load_settings(settings, sensor)
+    slam = System(cfg)
+
+    if loader == "tum_mono":
+        it = D.iter_tum_mono(seq)
+    elif loader == "tum_rgbd":
+        it = D.iter_tum_rgbd(seq, assoc, depth_factor=cfg.depth_map_factor)
+    elif loader == "kitti_stereo":
+        it = D.iter_kitti_stereo(seq)
+    elif loader == "kitti_mono":
+        it = D.iter_kitti_mono(seq)
+    elif loader == "euroc_mono":
+        it = D.iter_euroc(seq, stereo=False)
+    else:
+        it = D.iter_euroc(seq, stereo=True)
+
+    times = []
+    n = 0
+    for ts, frame in it:
+        t0 = time.perf_counter()
+        if sensor == Sensor.MONOCULAR:
+            pose = slam.track_monocular(frame["image"], ts)
+        elif sensor == Sensor.RGBD:
+            pose = slam.track_rgbd(frame["image"], frame["depth"], ts)
+        else:
+            pose = slam.track_stereo(frame["image"], frame["right"], ts)
+        times.append(time.perf_counter() - t0)
+        n += 1
+        if n % 50 == 0:
+            s = slam.map_stats()
+            print(f"frame {n}: {s['state']} kfs={s['keyframes']} "
+                  f"pts={s['points']} inl={s['last_inliers']} loops={s['loops']}",
+                  flush=True)
+        if max_frames and n >= max_frames:
+            break
+
+    out_dir.mkdir(parents=True, exist_ok=True)
+    slam.save_trajectory_tum(out_dir / "CameraTrajectory.txt")
+    slam.save_keyframe_trajectory_tum(out_dir / "KeyFrameTrajectory.txt")
+    if "kitti" in mode:
+        slam.save_trajectory_kitti(out_dir / "CameraTrajectoryKITTI.txt")
+    times = np.array(times)
+    print(f"\n{n} frames; median tracking time {np.median(times)*1e3:.1f} ms; "
+          f"mean {times.mean()*1e3:.1f} ms")
+    print(f"map: {slam.map_stats()}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -32,7 +32,7 @@ def main(argv=None):
 
     n_frames = int(argv[0]) if argv else 40
 
-    scene = synth.make_scene(seed=0)
+    scene = synth.make_room(seed=0)
     gt = synth.orbit_trajectory(n_frames)
     cfg = with_camera(
         SlamConfig(sensor=Sensor.MONOCULAR),
@@ -44,7 +44,7 @@ def main(argv=None):
     slam = System(cfg)
     times = []
     for i in range(n_frames):
-        img = synth.render(scene, gt[i], seed=i)
+        img = synth.render_room(scene, gt[i], seed=i)
         t0 = time.perf_counter()
         pose = slam.track_monocular(img, i / 30.0)
         times.append(time.perf_counter() - t0)

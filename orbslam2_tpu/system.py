@@ -19,25 +19,49 @@ from __future__ import annotations
 
 import queue
 import threading
+from pathlib import Path
 
 import numpy as np
 
 from .config import SlamConfig, Sensor
 from .io import trajectory as traj_io
+from .io.vocabulary import Vocabulary
 from .local_mapping import LocalMapper
+from .map.keyframe_db import KeyFrameDatabase
 from .map.mapstate import MapState
 from .ops.features import padded_capacity
+from .loop_closing import LoopCloser
+from .relocalization import Relocalizer
 from .tracking import Tracker, TrackState
+
+DEFAULT_VOCAB = Path(__file__).parent / "data" / "vocab_default.npz"
 
 
 class System:
-    def __init__(self, cfg: SlamConfig, async_mapping: bool = False):
+    def __init__(self, cfg: SlamConfig, async_mapping: bool = False,
+                 vocabulary: Vocabulary | str | None = None):
         self.cfg = cfg
         n_feat = padded_capacity(
             cfg.orb.n_features * (2 if cfg.sensor == Sensor.MONOCULAR else 1))
         self.map = MapState(cfg, n_feat)
-        self.local_mapper = LocalMapper(cfg, self.map)
-        self.tracker = Tracker(cfg, self.map, self._mapper_proxy())
+        if vocabulary is None:
+            vocabulary = Vocabulary.load(DEFAULT_VOCAB)
+        elif isinstance(vocabulary, (str, Path)):
+            vocabulary = (Vocabulary.load(vocabulary)
+                          if str(vocabulary).endswith((".npz",))
+                          else __import__("orbslam2_tpu.io.vocabulary",
+                                          fromlist=["load_orbvoc_text"]
+                                          ).load_orbvoc_text(vocabulary))
+        self.vocabulary = vocabulary
+        self.kf_db = KeyFrameDatabase(cfg, self.map, vocabulary.n_words)
+        self.relocalizer = Relocalizer(cfg, self.map, vocabulary, self.kf_db)
+        self.local_mapper = LocalMapper(cfg, self.map, kf_db=self.kf_db,
+                                        bow_encode=self.relocalizer.frame_bow)
+        self.loop_closer = LoopCloser(cfg, self.map, self.kf_db,
+                                      self.local_mapper)
+        self.local_mapper.loop_closer = self.loop_closer
+        self.tracker = Tracker(cfg, self.map, self._mapper_proxy(),
+                               relocalizer=self.relocalizer)
         self._async = async_mapping
         self._queue: queue.Queue | None = None
         self._worker: threading.Thread | None = None
@@ -60,6 +84,9 @@ class System:
 
             def run_ba(self, *a, **kw):
                 return sys_self.local_mapper.run_ba(*a, **kw)
+
+            def register(self, kf):
+                sys_self.local_mapper.register_keyframe(kf)
 
         return _Proxy()
 
@@ -103,6 +130,7 @@ class System:
             "points": self.map.n_points,
             "state": self.tracker.state.name,
             "last_inliers": self.tracker.matches_inliers,
+            "loops": self.loop_closer.n_loops_closed,
         }
 
     def shutdown(self):
@@ -114,8 +142,43 @@ class System:
         """System::Reset (src/System.cpp:279; Tracking::Reset :2030)."""
         n_feat = self.map.kf_xy.shape[1]
         self.map = MapState(self.cfg, n_feat)
-        self.local_mapper = LocalMapper(self.cfg, self.map)
-        self.tracker = Tracker(self.cfg, self.map, self._mapper_proxy())
+        self.kf_db = KeyFrameDatabase(self.cfg, self.map, self.vocabulary.n_words)
+        self.relocalizer = Relocalizer(self.cfg, self.map, self.vocabulary,
+                                       self.kf_db)
+        self.local_mapper = LocalMapper(self.cfg, self.map, kf_db=self.kf_db,
+                                        bow_encode=self.relocalizer.frame_bow)
+        self.loop_closer = LoopCloser(self.cfg, self.map, self.kf_db,
+                                      self.local_mapper)
+        self.local_mapper.loop_closer = self.loop_closer
+        self.tracker = Tracker(self.cfg, self.map, self._mapper_proxy(),
+                               relocalizer=self.relocalizer)
+
+    # ------------------------------------------------------------- checkpoint
+    def save_map(self, path):
+        """Map checkpoint (capability gain over the reference, where
+        SaveMap/LoadMap is a TODO — include/System.h:112-114)."""
+        self.map.save(path)
+
+    def load_map(self, path):
+        """Restore a saved map and re-enter localization against it: the
+        keyframe database is rebuilt and the tracker set LOST so the next
+        frame relocalizes."""
+        from .tracking import TrackState
+        self.map = MapState.load(path, self.cfg)
+        self.kf_db = KeyFrameDatabase(self.cfg, self.map, self.vocabulary.n_words)
+        self.relocalizer = Relocalizer(self.cfg, self.map, self.vocabulary,
+                                       self.kf_db)
+        self.local_mapper = LocalMapper(self.cfg, self.map, kf_db=self.kf_db,
+                                        bow_encode=self.relocalizer.frame_bow)
+        self.loop_closer = LoopCloser(self.cfg, self.map, self.kf_db,
+                                      self.local_mapper)
+        self.local_mapper.loop_closer = self.loop_closer
+        self.tracker = Tracker(self.cfg, self.map, self._mapper_proxy(),
+                               relocalizer=self.relocalizer)
+        for k in self.map.kf_ids:
+            self.local_mapper.register_keyframe(int(k))
+        self.tracker.state = TrackState.LOST
+        self.tracker.ref_kf = int(self.map.kf_ids[-1]) if self.map.n_keyframes else -1
 
     # -------------------------------------------------------------- trajectory
     def save_trajectory_tum(self, path):

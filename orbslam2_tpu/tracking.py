@@ -216,6 +216,9 @@ class Tracker:
         # global BA on the initial map, 20 iters (src/Tracking.cpp:907)
         if self.local_mapper is not None:
             self.local_mapper.run_ba([k0, k1], fixed=[k0], iters=(5, 15))
+            if hasattr(self.local_mapper, "register"):
+                self.local_mapper.register(k0)
+                self.local_mapper.register(k1)
 
         # median-depth scale normalization (src/Tracking.cpp:913-938)
         pc = mp.pt_xyz[pt_ids] @ mp.kf_pose[k0, :, :3].T + mp.kf_pose[k0, :, 3]
@@ -269,6 +272,8 @@ class Tracker:
         self.ref_kf = 0
         self.last_kf_frame_id = frame.frame_id
         self.last_frame = frame
+        if self.local_mapper is not None and hasattr(self.local_mapper, "register"):
+            self.local_mapper.register(0)
         self.state = TrackState.OK
 
     # --------------------------------------------------------------- tracking
@@ -424,11 +429,22 @@ class Tracker:
         ref_pts = mp.kf_pt[self.ref_kf]
         ref_matches = int(((ref_pts >= 0) &
                            (obs_counts[np.clip(ref_pts, 0, None)] >= min_obs)).sum())
+        # c1c for stereo/RGB-D: too few tracked close points while enough
+        # untracked close ones are available (src/Tracking.cpp:1368-1384)
+        need_close = False
+        if self.cfg.sensor != Sensor.MONOCULAR:
+            close = (frame.depth > 0) & \
+                (frame.depth < self.cfg.close_depth_threshold) & frame.valid
+            tracked_close = int((close & (frame.pt_idx >= 0)).sum())
+            untracked_close = int((close & (frame.pt_idx < 0)).sum())
+            need_close = tracked_close < 100 and untracked_close > 70
+        ratio = 0.9 if self.cfg.sensor == Sensor.MONOCULAR else 0.75
         frames_since = frame.frame_id - self.last_kf_frame_id
         c1a = frames_since >= self.cfg.max_frames_between_kf
         c1b = frames_since >= self.cfg.min_frames_between_kf and \
-            self.matches_inliers < 0.9 * ref_matches
-        c2 = self.matches_inliers < 0.9 * ref_matches and self.matches_inliers > 15
+            (self.matches_inliers < 0.9 * ref_matches or need_close)
+        c2 = (self.matches_inliers < ratio * ref_matches or need_close) and \
+            self.matches_inliers > 15
         return bool((c1a or c1b) and c2) or (c1a and self.matches_inliers > 15)
 
     def _create_keyframe(self, frame: Frame):

@@ -1,0 +1,104 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from orbslam2_tpu.io import vocabulary as V
+from orbslam2_tpu.ops import bow as BOW
+from orbslam2_tpu.ops import pnp as PNP
+
+
+def rand_desc(rng, n):
+    return rng.integers(0, 2 ** 32, (n, 8), dtype=np.uint32)
+
+
+@pytest.fixture(scope="module")
+def voc():
+    rng = np.random.default_rng(0)
+    return V.train_vocabulary(rand_desc(rng, 3000), k=6, levels=3, seed=1)
+
+
+class TestVocabulary:
+    def test_train_structure(self, voc):
+        assert voc.n_words > 50
+        assert (voc.node_word >= 0).sum() == voc.n_words
+        # children table consistent
+        assert voc.node_children.max() < len(voc.node_desc)
+
+    def test_device_matches_host_descent(self, voc):
+        rng = np.random.default_rng(2)
+        d = rand_desc(rng, 256)
+        host = V.assign_words_numpy(voc, d)
+        dev, dvalid = BOW.assign_words(
+            jnp.asarray(voc.node_desc), jnp.asarray(voc.node_children),
+            jnp.asarray(voc.node_word), jnp.asarray(d),
+            jnp.ones(256, bool), voc.levels)
+        assert np.asarray(dvalid).all()
+        assert (np.asarray(dev) == host).mean() > 0.99
+
+    def test_bow_similarity_discrimination(self, voc):
+        rng = np.random.default_rng(3)
+        base = rand_desc(rng, 500)
+        # "same place": flip a few bits
+        bits = np.unpackbits(base.view(np.uint8), axis=-1)
+        flip = rng.random(bits.shape) < 0.02
+        near = np.packbits(bits ^ flip, axis=-1).view(np.uint32)
+        far = rand_desc(rng, 500)
+
+        def vec(d):
+            w, wv = BOW.assign_words(
+                jnp.asarray(voc.node_desc), jnp.asarray(voc.node_children),
+                jnp.asarray(voc.node_word), jnp.asarray(d),
+                jnp.ones(len(d), bool), voc.levels)
+            return BOW.bow_vector(w, wv, jnp.asarray(voc.word_weight), voc.n_words)
+
+        v0, v1, v2 = vec(base), vec(near), vec(far)
+        s_near = float(1.0 - 0.5 * jnp.abs(v0 - v1).sum())
+        s_far = float(1.0 - 0.5 * jnp.abs(v0 - v2).sum())
+        assert s_near > s_far + 0.05, (s_near, s_far)
+
+    def test_save_load_roundtrip(self, voc, tmp_path):
+        p = tmp_path / "v.npz"
+        voc.save(p)
+        v2 = V.Vocabulary.load(p)
+        np.testing.assert_array_equal(voc.node_desc, v2.node_desc)
+        np.testing.assert_array_equal(voc.word_weight, v2.word_weight)
+
+
+class TestPnP:
+    def test_recover_pose(self):
+        rng = np.random.default_rng(4)
+        n = 128
+        X = np.stack([rng.uniform(-2, 2, n), rng.uniform(-1.5, 1.5, n),
+                      rng.uniform(4, 9, n)], -1).astype(np.float32)
+        from orbslam2_tpu.geometry import se3
+        T_gt = np.asarray(se3.se3_exp(jnp.asarray(
+            [0.3, -0.1, 0.2, 0.05, -0.04, 0.08])))
+        pc = X @ T_gt[:, :3].T + T_gt[:, 3]
+        uv = np.stack([500 * pc[:, 0] / pc[:, 2] + 320,
+                       500 * pc[:, 1] / pc[:, 2] + 240], -1).astype(np.float32)
+        uv += rng.normal(0, 0.5, uv.shape)
+        res = PNP.pnp_ransac(jax.random.PRNGKey(0), jnp.asarray(X),
+                             jnp.asarray(uv), jnp.ones(n, jnp.float32),
+                             jnp.ones(n, bool), 500., 500., 320., 240.)
+        assert int(res.n_inliers) > 100
+        err = np.abs(np.asarray(res.T) - T_gt).max()
+        assert err < 0.05, err
+
+    def test_outliers(self):
+        rng = np.random.default_rng(5)
+        n = 128
+        X = np.stack([rng.uniform(-2, 2, n), rng.uniform(-1.5, 1.5, n),
+                      rng.uniform(4, 9, n)], -1).astype(np.float32)
+        T_gt = np.hstack([np.eye(3), np.array([[0.1], [0.0], [0.2]])]).astype(np.float32)
+        pc = X @ T_gt[:, :3].T + T_gt[:, 3]
+        uv = np.stack([500 * pc[:, 0] / pc[:, 2] + 320,
+                       500 * pc[:, 1] / pc[:, 2] + 240], -1).astype(np.float32)
+        out = rng.choice(n, 40, replace=False)
+        uv[out] = rng.uniform([0, 0], [640, 480], (40, 2))
+        res = PNP.pnp_ransac(jax.random.PRNGKey(1), jnp.asarray(X),
+                             jnp.asarray(uv), jnp.ones(n, jnp.float32),
+                             jnp.ones(n, bool), 500., 500., 320., 240.)
+        inl = np.asarray(res.inliers)
+        assert inl[out].sum() <= 2
+        assert int(res.n_inliers) >= 70
