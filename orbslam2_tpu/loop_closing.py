@@ -138,10 +138,28 @@ class LoopCloser:
                                 fix_scale=fix_scale)
             if int(sr.n_inliers) < 20:  # :409-412
                 continue
+            # GN refinement over the RANSAC inliers
+            # (Optimizer::OptimizeSim3, src/Optimizer.cpp:1281)
+            s_o, R_o, t_o, inl_o, n_o = S3.optimize_sim3(
+                sr.s, sr.R, sr.t, jnp.asarray(P1p.astype(np.float32)),
+                jnp.asarray(P2p.astype(np.float32)),
+                jnp.asarray((np.stack([
+                    cam.fx * P1p[:, 0] / np.maximum(P1p[:, 2], 1e-6) + cam.cx,
+                    cam.fy * P1p[:, 1] / np.maximum(P1p[:, 2], 1e-6) + cam.cy], -1)
+                ).astype(np.float32)),
+                jnp.asarray((np.stack([
+                    cam.fx * P2p[:, 0] / np.maximum(P2p[:, 2], 1e-6) + cam.cx,
+                    cam.fy * P2p[:, 1] / np.maximum(P2p[:, 2], 1e-6) + cam.cy], -1)
+                ).astype(np.float32)),
+                jnp.asarray(s1), jnp.asarray(s2),
+                jnp.asarray(np.asarray(sr.inliers) & vmask),
+                cam.fx, cam.fy, cam.cx, cam.cy, fix_scale=fix_scale)
+            if int(n_o) < 20:
+                continue
             # loop-neighborhood support check (:440-499): project the loop
             # region's points into kf with the corrected pose and count
             # matches
-            s12, R12, t12 = float(sr.s), np.asarray(sr.R), np.asarray(sr.t)
+            s12, R12, t12 = float(s_o), np.asarray(R_o), np.asarray(t_o)
             n_support = self._loop_support(kf, kc, s12, R12, t12)
             if n_support < 40:
                 continue

@@ -140,3 +140,81 @@ def sim3_ransac(key, P1, P2, sigma2_1, sigma2_2, valid,
     inl_f = jnp.where(use_refit, inl, inls[best])
     return Sim3Result(s=s, R=R, t=t, inliers=inl_f,
                       n_inliers=jnp.where(use_refit, cnt, counts[best]))
+
+
+def _sim3_apply(s, R, t, P):
+    return s * (P @ R.T) + t
+
+
+def _sim3_residuals(xi, s0, R0, t0, P1, P2, uv1, uv2, inv_s1, inv_s2,
+                    fx, fy, cx, cy, fix_scale):
+    """Two-way reprojection residuals of the perturbed similarity
+    S = exp(xi) ∘ S0 (left-multiplicative 7-dof tangent)."""
+    from ..geometry import sim3 as s3
+    D = s3.exp(xi if not fix_scale else xi.at[6].set(0.0))
+    S = s3.compose(D, {"s": s0, "R": R0, "t": t0})
+    s, R, t = S["s"], S["R"], S["t"]
+
+    def proj(P):
+        z = jnp.maximum(P[:, 2], 1e-6)
+        return jnp.stack([fx * P[:, 0] / z + cx, fy * P[:, 1] / z + cy], -1)
+
+    P2in1 = _sim3_apply(s, R, t, P2)
+    P1in2 = (1.0 / s) * ((P1 - t) @ R)
+    r1 = (proj(P2in1) - uv1) * inv_s1[:, None]
+    r2 = (proj(P1in2) - uv2) * inv_s2[:, None]
+    return jnp.concatenate([r1, r2], axis=0)  # [2N, 2]
+
+
+@functools.partial(jax.jit, static_argnames=("fx", "fy", "cx", "cy",
+                                             "fix_scale", "iters"))
+def optimize_sim3(s0, R0, t0, P1, P2, uv1, uv2, sigma2_1, sigma2_2, valid,
+                  fx: float, fy: float, cx: float, cy: float,
+                  fix_scale: bool = False, iters: int = 10):
+    """Gauss-Newton refinement of a relative Sim3 over matched pairs — the
+    reference's fifth optimizer entry point (Optimizer::OptimizeSim3,
+    src/Optimizer.cpp:1281-1496: g2o VertexSim3Expmap + paired forward/
+    inverse projection edges, numerically differentiated). Returns
+    (s, R, t, inliers, n_inliers)."""
+    inv_s1 = 1.0 / jnp.sqrt(sigma2_1)
+    inv_s2 = 1.0 / jnp.sqrt(sigma2_2)
+    w2 = jnp.concatenate([valid, valid]).astype(jnp.float32)
+    eps = 1e-4
+
+    def gn_step(carry, _):
+        s, R, t = carry
+        base = _sim3_residuals(jnp.zeros(7), s, R, t, P1, P2, uv1, uv2,
+                               inv_s1, inv_s2, fx, fy, cx, cy, fix_scale)
+        # Huber weights at sqrt(10) normalized-residual norm (delta ~ chi2 10)
+        nrm = jnp.linalg.norm(base, axis=-1)
+        hub = jnp.where(nrm <= 3.16, 1.0, 3.16 / jnp.maximum(nrm, 1e-9))
+        wgt = w2 * hub
+        cols = []
+        for k in range(7):
+            xp = jnp.zeros(7).at[k].set(eps)
+            rp = _sim3_residuals(xp, s, R, t, P1, P2, uv1, uv2, inv_s1,
+                                 inv_s2, fx, fy, cx, cy, fix_scale)
+            rm = _sim3_residuals(-xp, s, R, t, P1, P2, uv1, uv2, inv_s1,
+                                 inv_s2, fx, fy, cx, cy, fix_scale)
+            cols.append((rp - rm) / (2 * eps))
+        J = jnp.stack(cols, axis=-1)  # [2N, 2, 7]
+        H = jnp.einsum("nri,n,nrj->ij", J, wgt, J) + 1e-6 * jnp.eye(7)
+        g = -jnp.einsum("nri,n,nr->i", J, wgt, base)
+        dx = jnp.linalg.solve(H, g)
+        dx = jnp.where(jnp.isfinite(dx), dx, 0.0)
+        from ..geometry import sim3 as s3
+        D = s3.exp(dx if not fix_scale else dx.at[6].set(0.0))
+        S = s3.compose(D, {"s": s, "R": R, "t": t})
+        return (S["s"], S["R"], S["t"]), None
+
+    (s, R, t), _ = jax.lax.scan(gn_step, (jnp.asarray(s0, jnp.float32), R0, t0),
+                                None, length=iters)
+    # final chi2 classification at threshold 10 per direction
+    # (src/Optimizer.cpp:1435-1445 uses chi2 > 10 to drop edges)
+    base = _sim3_residuals(jnp.zeros(7), s, R, t, P1, P2, uv1, uv2,
+                           inv_s1, inv_s2, fx, fy, cx, cy, fix_scale)
+    n = P1.shape[0]
+    chi1 = jnp.sum(base[:n] ** 2, -1)
+    chi2_ = jnp.sum(base[n:] ** 2, -1)
+    inl = valid & (chi1 < 9.210) & (chi2_ < 9.210)
+    return s, R, t, inl, jnp.sum(inl)

@@ -62,6 +62,7 @@ class System:
         self.local_mapper.loop_closer = self.loop_closer
         self.tracker = Tracker(cfg, self.map, self._mapper_proxy(),
                                relocalizer=self.relocalizer)
+        self.tracker.reset_callback = self.reset
         self._async = async_mapping
         self._queue: queue.Queue | None = None
         self._worker: threading.Thread | None = None
@@ -120,6 +121,14 @@ class System:
         return img.astype(np.float32)
 
     # ------------------------------------------------------------------ state
+    def activate_localization_mode(self):
+        """Tracking-only against the frozen map
+        (System::ActivateLocalizationMode, src/System.cpp:267)."""
+        self.tracker.localization_only = True
+
+    def deactivate_localization_mode(self):
+        self.tracker.localization_only = False
+
     @property
     def tracking_state(self) -> TrackState:
         return self.tracker.state
@@ -152,6 +161,7 @@ class System:
         self.local_mapper.loop_closer = self.loop_closer
         self.tracker = Tracker(self.cfg, self.map, self._mapper_proxy(),
                                relocalizer=self.relocalizer)
+        self.tracker.reset_callback = self.reset
 
     # ------------------------------------------------------------- checkpoint
     def save_map(self, path):

@@ -54,6 +54,7 @@ class Tracker:
         self.map = mp
         self.local_mapper = local_mapper
         self.relocalizer = relocalizer
+        self.reset_callback = None  # wired by System (System::Reset path)
         cam = cfg.camera
         self.K = np.array(cam.K, np.float32)
         self.sf = F.scale_factors(cfg.orb)
@@ -64,6 +65,7 @@ class Tracker:
                              if cfg.sensor == Sensor.MONOCULAR else self.builder)
 
         self.state = TrackState.NOT_INITIALIZED
+        self.localization_only = False  # ActivateLocalizationMode
         self.init_ref: Frame | None = None
         self.last_frame: Frame | None = None
         self.velocity: np.ndarray | None = None  # T_cur_last [3,4]
@@ -138,13 +140,22 @@ class Tracker:
             if self.last_frame is not None and self.last_frame.pose is not None:
                 self.velocity = se3_np.compose(
                     frame.pose, se3_np.inverse(self.last_frame.pose))
-            if self._need_new_keyframe(frame):
+            # localization-only mode: track against the frozen map
+            # (System::ActivateLocalizationMode, src/System.cpp:267)
+            if not self.localization_only and self._need_new_keyframe(frame):
                 self._create_keyframe(frame)
             self.n_lost_frames = 0
         else:
             self.state = TrackState.LOST
             self.velocity = None
             self.n_lost_frames += 1
+            # reset when lost right after initialization with a tiny map
+            # (src/Tracking.cpp:590-598)
+            if (not self.localization_only and self.map.n_keyframes <= 5
+                    and self.n_lost_frames == 1 and self.reset_callback is not None
+                    and self.map.n_keyframes > 0
+                    and frame.frame_id - self.last_kf_frame_id <= 2):
+                self.reset_callback()
 
         self._log_frame(frame, lost=not ok)
         self.last_frame = frame

@@ -122,3 +122,35 @@ class TestPoseGraph:
         # cost decreased
         c = np.asarray(costs)
         assert c[-1] < c[0] * 0.5
+
+
+class TestOptimizeSim3:
+    def test_refines_noisy_init(self):
+        import jax.numpy as jnp
+        from orbslam2_tpu.ops.sim3_solver import optimize_sim3
+        rng = np.random.default_rng(11)
+        n = 128
+        P2 = np.stack([rng.uniform(-2, 2, n), rng.uniform(-1.5, 1.5, n),
+                       rng.uniform(3, 8, n)], -1).astype(np.float32)
+        R_gt = np.asarray(se3.so3_exp(jnp.asarray([0.05, -0.1, 0.07])))
+        t_gt = np.array([0.3, -0.1, 0.2], np.float32)
+        s_gt = 1.25
+        P1 = (s_gt * P2 @ R_gt.T + t_gt).astype(np.float32)
+
+        def proj(P):
+            return np.stack([500 * P[:, 0] / P[:, 2] + 320,
+                             500 * P[:, 1] / P[:, 2] + 240], -1).astype(np.float32)
+
+        uv1 = proj(P1) + rng.normal(0, 0.3, (n, 2)).astype(np.float32)
+        uv2 = proj(P2) + rng.normal(0, 0.3, (n, 2)).astype(np.float32)
+        # noisy init
+        R0 = np.asarray(se3.so3_exp(jnp.asarray([0.07, -0.08, 0.05])))
+        s, R, t, inl, n_inl = optimize_sim3(
+            jnp.asarray(1.1, jnp.float32), jnp.asarray(R0.astype(np.float32)),
+            jnp.asarray(t_gt + [0.05, -0.03, 0.02]),
+            jnp.asarray(P1), jnp.asarray(P2), jnp.asarray(uv1), jnp.asarray(uv2),
+            jnp.ones(n, jnp.float32), jnp.ones(n, jnp.float32),
+            jnp.ones(n, bool), 500., 500., 320., 240.)
+        assert abs(float(s) - s_gt) < 0.02, float(s)
+        assert np.abs(np.asarray(R) - R_gt).max() < 0.01
+        assert int(n_inl) > 110
