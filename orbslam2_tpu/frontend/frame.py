@@ -73,9 +73,15 @@ class FrameBuilder:
         ur = np.full(n, -1.0, np.float32)
         if right_img is not None:
             # stereo path: inputs must be rectified (reference requirement;
-            # EuRoC driver rectifies online, Examples/Stereo/stereo_EuRoC.cpp)
+            # EuRoC driver rectifies online, Examples/Stereo/stereo_EuRoC.cpp).
+            # Keypoint-to-keypoint disparity is already sub-pixel (Harris-
+            # snapped detection), measured BETTER than the SAD slide refine
+            # the reference needed for its integer keypoints — so the direct
+            # match is the default; ops/stereo.refine_disparity stays
+            # available.
             from .stereo import stereo_depths_for_frame
-            ur, depth = stereo_depths_for_frame(self.cfg, feats, right_img)
+            ur, depth, _ = stereo_depths_for_frame(self.cfg, feats, right_img)
+            ur, depth = np.asarray(ur), np.asarray(depth)
         elif depth_map is not None:
             # RGB-D: depth lookup at raw keypoint, virtual right coord
             # (Frame::ComputeStereoFromRGBD, src/Frame.cpp:773-800)

@@ -21,10 +21,23 @@ def stereo_depths_for_frame(cfg: SlamConfig, feats_left, right_img: np.ndarray):
     feats_left: FrameFeatures of the left image (device arrays).
     """
     h, w = right_img.shape
-    feats_r = F.extract_orb(jnp.asarray(right_img, jnp.float32), cfg.orb, h, w)
+    right = jnp.asarray(right_img, jnp.float32)
+    feats_r = F.extract_orb(right, cfg.orb, h, w)
     cam = cfg.camera
     ur, depth = S.stereo_match(
         feats_left.xy, feats_left.octave, feats_left.desc, feats_left.valid,
         feats_r.xy, feats_r.octave, feats_r.desc, feats_r.valid,
         jnp.asarray(F.scale_factors(cfg.orb)), cam.bf, cam.fx)
-    return np.asarray(ur), np.asarray(depth)
+    return ur, depth, right
+
+
+def stereo_depths_refined(cfg: SlamConfig, feats_left, left_img, right_img):
+    """Row-band match + sub-pixel SAD refinement (the full
+    Frame::ComputeStereoMatches equivalent)."""
+    ur, depth, right = stereo_depths_for_frame(cfg, feats_left, right_img)
+    cam = cfg.camera
+    ur2, depth2 = S.refine_disparity(
+        jnp.asarray(left_img, jnp.float32), right,
+        feats_left.xy, feats_left.octave, ur, depth,
+        cfg.orb.n_levels, cfg.orb.scale_factor, cam.height, cam.width, cam.bf)
+    return np.asarray(ur2), np.asarray(depth2)
