@@ -32,10 +32,18 @@ class Frame:
     ur: np.ndarray       # [N] right-image u (-1 mono)
     pose: np.ndarray | None = None        # [3, 4] Tcw
     pt_idx: np.ndarray = field(default=None)  # [N] map point per feature (-1)
+    # temporal "VO" points (stereo/RGB-D motion tracking): world positions
+    # for features matched to depth-backprojected last-frame features that
+    # carry no map point (Tracking::UpdateLastFrame). Never enter the map.
+    tmp_xyz: np.ndarray = field(default=None)
+    tmp_valid: np.ndarray = field(default=None)
 
     def __post_init__(self):
         if self.pt_idx is None:
             self.pt_idx = np.full(self.xy.shape[0], -1, np.int32)
+        if self.tmp_xyz is None:
+            self.tmp_xyz = np.zeros((self.xy.shape[0], 3), np.float32)
+            self.tmp_valid = np.zeros(self.xy.shape[0], bool)
 
     @property
     def capacity(self) -> int:

@@ -71,6 +71,7 @@ class Tracker:
         self.velocity: np.ndarray | None = None  # T_cur_last [3,4]
         self.ref_kf: int = -1
         self.last_kf_frame_id: int = -1
+        self.init_frame_id: int = -1
         self.matches_inliers: int = 0
         self._rng = jax.random.PRNGKey(0)
         # trajectory log: (timestamp, ref_kf, T_frame_wrt_refkf, lost)
@@ -87,8 +88,10 @@ class Tracker:
         """Run motion-only BA on the frame's current point associations and
         prune outlier associations (Tracking.cpp:1034-1057 pattern)."""
         pt = frame.pt_idx
-        ok = (pt >= 0) & frame.valid & self.map.pt_valid[np.clip(pt, 0, None)]
-        pts_xyz = self.map.pt_xyz[np.clip(pt, 0, None)]
+        bound = (pt >= 0) & frame.valid & self.map.pt_valid[np.clip(pt, 0, None)]
+        ok = bound | (frame.tmp_valid & frame.valid)
+        pts_xyz = np.where(bound[:, None], self.map.pt_xyz[np.clip(pt, 0, None)],
+                           frame.tmp_xyz)
         obs = np.concatenate([frame.xy, frame.ur[:, None]], -1).astype(np.float32)
         is_st = frame.ur >= 0
         info = (1.0 / self.sigma2)[np.clip(frame.octave, 0, len(self.sigma2) - 1)]
@@ -100,7 +103,11 @@ class Tracker:
         frame.pose = _np(res.T)
         inl = _np(res.inliers)
         frame.pt_idx = np.where(ok & ~inl, -1, frame.pt_idx)
-        return int(inl.sum())
+        frame.tmp_valid = frame.tmp_valid & inl
+        # count only MAP-point inliers: temporal VO matches aid the
+        # optimization but must not feed tracking-quality / keyframe
+        # decisions (the reference's nmatchesMap, src/Tracking.cpp:1230-1241)
+        return int((inl & bound).sum())
 
     # ------------------------------------------------------------- main entry
     def process_image(self, img: np.ndarray, timestamp: float,
@@ -150,11 +157,15 @@ class Tracker:
             self.velocity = None
             self.n_lost_frames += 1
             # reset when lost right after initialization with a tiny map
-            # (src/Tracking.cpp:590-598)
+            # (src/Tracking.cpp:590-598). Unlike the reference we also require
+            # the loss to be EARLY (our keyframe culling keeps maps small
+            # forever, so a pure map-size gate would fire on mature sessions)
+            early = (self.init_frame_id >= 0 and
+                     frame.frame_id - self.init_frame_id <= 10)
             if (not self.localization_only and self.map.n_keyframes <= 5
-                    and self.n_lost_frames == 1 and self.reset_callback is not None
-                    and self.map.n_keyframes > 0
-                    and frame.frame_id - self.last_kf_frame_id <= 2):
+                    and self.n_lost_frames == 1 and early
+                    and self.reset_callback is not None
+                    and self.map.n_keyframes > 0):
                 self.reset_callback()
 
         self._log_frame(frame, lost=not ok)
@@ -248,6 +259,7 @@ class Tracker:
         self.last_kf_frame_id = frame.frame_id
         self.last_frame = frame
         self.init_ref = None
+        self.init_frame_id = frame.frame_id
         self.state = TrackState.OK
 
     def _reset_initialization(self, pt_ids, kfs):
@@ -285,6 +297,7 @@ class Tracker:
         self.last_frame = frame
         if self.local_mapper is not None and hasattr(self.local_mapper, "register"):
             self.local_mapper.register(0)
+        self.init_frame_id = frame.frame_id
         self.state = TrackState.OK
 
     # --------------------------------------------------------------- tracking
@@ -294,6 +307,24 @@ class Tracker:
         frame.pose = se3_np.compose(self.velocity, last.pose)
         pt = last.pt_idx
         ok = (pt >= 0) & self.map.pt_valid[np.clip(pt, 0, None)]
+        pts_xyz = self.map.pt_xyz[np.clip(pt, 0, None)].copy()
+        pt_desc = self.map.pt_desc[np.clip(pt, 0, None)].copy()
+        if self.cfg.sensor != Sensor.MONOCULAR:
+            # temporal "VO" points: unmatched last-frame features with depth
+            # are backprojected for motion-model matching
+            # (Tracking::UpdateLastFrame, src/Tracking.cpp:1065-1160)
+            tmp = (~ok) & last.valid & (last.depth > 0) & \
+                (last.depth < 2 * self.cfg.close_depth_threshold)
+            if tmp.any() and last.pose is not None:
+                cam_ = self.cfg.camera
+                z = last.depth[tmp]
+                x = (last.xy[tmp, 0] - cam_.cx) / cam_.fx * z
+                y = (last.xy[tmp, 1] - cam_.cy) / cam_.fy * z
+                Rwc = last.pose[:, :3].T
+                Ow = -Rwc @ last.pose[:, 3]
+                pts_xyz[tmp] = (np.stack([x, y, z], -1) @ Rwc.T + Ow).astype(np.float32)
+                pt_desc[tmp] = last.desc[tmp]
+                ok = ok | tmp
         if ok.sum() < 10:
             return False
         cam = self.cfg.camera
@@ -301,9 +332,9 @@ class Tracker:
         for radius_th in (th, 2 * th):  # widening retry (src/Tracking.cpp:1192)
             res = FM.match_motion_model(
                 jnp.asarray(frame.pose),
-                jnp.asarray(self.map.pt_xyz[np.clip(pt, 0, None)]),
+                jnp.asarray(pts_xyz),
                 jnp.asarray(ok),
-                jnp.asarray(self.map.pt_desc[np.clip(pt, 0, None)]),
+                jnp.asarray(pt_desc),
                 jnp.asarray(last.octave),
                 jnp.asarray(frame.xy), jnp.asarray(frame.octave),
                 jnp.asarray(frame.desc), jnp.asarray(frame.valid),
@@ -319,6 +350,11 @@ class Tracker:
         frame.pt_idx = np.full(frame.capacity, -1, np.int32)
         src = np.flatnonzero(midx >= 0)
         frame.pt_idx[midx[src]] = pt[src]
+        # temporal matches carry the backprojected position instead
+        tmp_src = src[pt[src] < 0]
+        if len(tmp_src):
+            frame.tmp_xyz[midx[tmp_src]] = pts_xyz[tmp_src]
+            frame.tmp_valid[midx[tmp_src]] = True
         n_inl = self._pose_optimize(frame)
         self.matches_inliers = n_inl
         return n_inl >= 10
@@ -503,12 +539,14 @@ class Tracker:
         (System::SaveTrajectoryTUM, src/System.cpp:307-370)."""
         out_ts, out_T = [], []
         for ts, ref, T_rel, lost in self.frame_log:
-            if ref < 0:
+            if ref < 0 or lost:  # lost frames carry no reliable pose
                 continue
             T_ref = self.map.resolve_kf_pose(ref)
             if T_ref is None:
                 continue
             T = se3_np.compose(T_rel, T_ref)
+            if not np.isfinite(T).all():
+                continue
             out_ts.append(ts)
             out_T.append(T)
         return np.array(out_ts), (np.stack(out_T) if out_T else
