@@ -51,11 +51,14 @@ class SlamConfig:
     # equivalent — the reference grows pointer graphs without bound).
     max_keyframes: int = 512
     max_points: int = 65536
-    # Static shape buckets for jitted per-frame / BA programs
+    # Static shape buckets for jitted per-frame / BA programs. The larger
+    # camera/edge buckets serve global BA on long sequences (KITTI-scale);
+    # local BA windows are separately capped by local_ba_cam_cap.
     local_points_cap: int = 4096
-    ba_cam_buckets: tuple = (8, 16, 32, 64)
-    ba_point_buckets: tuple = (1024, 2048, 4096, 8192, 16384)
-    ba_edge_buckets: tuple = (4096, 8192, 16384, 32768, 65536)
+    local_ba_cam_cap: int = 48
+    ba_cam_buckets: tuple = (8, 16, 32, 64, 128, 256, 512)
+    ba_point_buckets: tuple = (1024, 2048, 4096, 8192, 16384, 32768, 65536)
+    ba_edge_buckets: tuple = (4096, 8192, 16384, 32768, 65536, 131072, 262144)
     # Tracking constants (src/Tracking.cpp:167, :1417)
     min_frames_between_kf: int = 0
 

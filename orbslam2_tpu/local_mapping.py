@@ -268,7 +268,7 @@ class LocalMapper:
         points = their points; fixed cams = other observers of those points."""
         mp = self.map
         local = [kf] + [int(k) for k in mp.covisible_kfs(kf)]
-        local = local[:self.cfg.ba_cam_buckets[-1] - 8]
+        local = local[:self.cfg.local_ba_cam_cap]
         lpts = np.unique(mp.kf_pt[local])
         lpts = lpts[(lpts >= 0)]
         lpts = lpts[mp.pt_valid[lpts]]

@@ -63,7 +63,9 @@ def main(argv=None):
     if loader == "tum_mono":
         it = D.iter_tum_mono(seq)
     elif loader == "tum_rgbd":
-        it = D.iter_tum_rgbd(seq, assoc, depth_factor=cfg.depth_map_factor)
+        # raw sensor units here; FrameBuilder applies cfg.depth_map_factor
+        # (single scaling point, as the reference's Tracking does)
+        it = D.iter_tum_rgbd(seq, assoc, depth_factor=1.0)
     elif loader == "kitti_stereo":
         it = D.iter_kitti_stereo(seq)
     elif loader == "kitti_mono":

@@ -68,3 +68,16 @@ class TestDistributedBA:
         assert len(sp.cam_T.sharding.device_set) == 8
         assert sp.cam_T.sharding.is_fully_replicated
         assert not sp.e_obs.sharding.is_fully_replicated
+
+
+class TestLargeScaleBA:
+    def test_global_ba_scale(self):
+        """KITTI-scale global BA smoke: 128 cameras, 8k points, 64k edges
+        through the big buckets (finite result, cost below start)."""
+        prob, cams_gt, (fx, fy, cx, cy) = synth_problem(
+            seed=7, C=128, P=8192, E=65536, noise=0.5)
+        res = BA.ba_solve(prob, fx, fy, cx, cy, 0.0, iters1=3, iters2=3)
+        assert np.isfinite(float(res.cost))
+        assert bool(jnp.isfinite(res.cam_T).all())
+        err = np.abs(np.asarray(res.cam_T) - cams_gt).max()
+        assert err < 0.05, err
