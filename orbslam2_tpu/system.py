@@ -63,6 +63,8 @@ class System:
         self.tracker = Tracker(cfg, self.map, self._mapper_proxy(),
                                relocalizer=self.relocalizer)
         self.tracker.reset_callback = self.reset
+        from .utils.metrics import MetricsLog
+        self.metrics = MetricsLog()
         self._async = async_mapping
         self._queue: queue.Queue | None = None
         self._worker: threading.Thread | None = None
@@ -101,18 +103,34 @@ class System:
     # ------------------------------------------------------------- public API
     def track_monocular(self, img: np.ndarray, timestamp: float):
         assert self.cfg.sensor == Sensor.MONOCULAR
-        return self.tracker.process_image(self._gray(img), timestamp)
+        return self._tracked(timestamp, lambda: self.tracker.process_image(
+            self._gray(img), timestamp))
 
     def track_rgbd(self, img: np.ndarray, depth: np.ndarray, timestamp: float):
         assert self.cfg.sensor == Sensor.RGBD
-        return self.tracker.process_image(self._gray(img), timestamp,
-                                          depth_map=depth)
+        return self._tracked(timestamp, lambda: self.tracker.process_image(
+            self._gray(img), timestamp, depth_map=depth))
 
     def track_stereo(self, left: np.ndarray, right: np.ndarray,
                      timestamp: float):
         assert self.cfg.sensor == Sensor.STEREO
-        return self.tracker.process_image(self._gray(left), timestamp,
-                                          right_img=self._gray(right))
+        return self._tracked(timestamp, lambda: self.tracker.process_image(
+            self._gray(left), timestamp, right_img=self._gray(right)))
+
+    def _tracked(self, timestamp: float, fn):
+        import time as _t
+        kfs_before = self.map.n_keyframes
+        t0 = _t.perf_counter()
+        pose = fn()
+        dt = (_t.perf_counter() - t0) * 1e3
+        self.metrics.append(
+            frame_id=len(self.metrics.records), timestamp=timestamp,
+            state=self.tracker.state.name,
+            inliers=self.tracker.matches_inliers,
+            keyframes=self.map.n_keyframes, points=self.map.n_points,
+            loops=self.loop_closer.n_loops_closed, track_ms=dt,
+            created_keyframe=self.map.n_keyframes != kfs_before)
+        return pose
 
     @staticmethod
     def _gray(img: np.ndarray) -> np.ndarray:

@@ -131,3 +131,22 @@ class TestRGBDE2E:
         # TODO(accuracy): tighten as the motion-correlated detection bias
         # shrinks (see features.py subpixel notes)
         assert ate < 0.30, f"metric ATE {ate*100:.1f} cm"
+
+
+@pytest.mark.slow
+class TestAsyncMapping:
+    def test_async_pipeline_tracks(self):
+        """The bounded-queue async mapping stage (the reference's
+        InsertKeyFrame thread handoff) must track equivalently."""
+        import time
+        N = 14
+        scene = synth.make_room(seed=0)
+        gt = synth.orbit_trajectory(N)
+        slam = System(make_cfg(scene), async_mapping=True)
+        for i in range(N):
+            slam.track_monocular(synth.render_room(scene, gt[i], seed=i), i / 30.0)
+        time.sleep(2)
+        slam.shutdown()
+        stats = slam.map_stats()
+        assert stats["state"] == "OK"
+        assert stats["keyframes"] >= 3 and stats["points"] > 300
