@@ -281,23 +281,16 @@ class LocalMapper:
             ((seen[np.clip(mp.kf_pt, 0, None)] & (mp.kf_pt >= 0)).any(axis=1))
             & mp.kf_valid)
         fixed = [int(k) for k in observers if int(k) not in local][:8]
-        # gauge fixing: fixed second ring when present; in monocular ALWAYS
-        # keep two anchors (the two oldest cams in the window) — with a
-        # single fixed camera the scale direction is damped-only and drifts
-        # systematically (observed: map scale inflated ~2x over 12 frames,
-        # then velocity-feedback runaway)
+        # gauge fixing: the fixed second ring when present, plus the oldest
+        # camera in the window (the reference fixes KF0 only,
+        # src/Optimizer.cpp:640-652). The scale direction is then damped-only
+        # for mono, as in the reference; the historical runaway attributed to
+        # this was actually texture aliasing (io/synth.py notes).
         cams = local + fixed
         fixed_mask = np.zeros(len(cams), bool)
         fixed_mask[len(local):] = True
-        order = np.argsort(mp.kf_frame_id[cams])
-        n_anchor = 2 if self.cfg.sensor == Sensor.MONOCULAR else 1
-        need = max(n_anchor - int(fixed_mask.sum()), 0)
-        for i in order[:]:
-            if need == 0:
-                break
-            if not fixed_mask[i]:
-                fixed_mask[i] = True
-                need -= 1
+        if not fixed_mask.any():
+            fixed_mask[int(np.argmin(mp.kf_frame_id[local]))] = True
         if mp.kf_frame_id[cams].min() <= mp.kf_frame_id[mp.kf_valid].min():
             fixed_mask[int(np.argmin(mp.kf_frame_id[cams]))] = True
 
