@@ -69,11 +69,30 @@ class FrameBuilder:
         self.orb = orb
         self._next_id = 0
 
+    def dispatch(self, img: np.ndarray,
+                 depth_map: np.ndarray | None = None,
+                 right_img: np.ndarray | None = None):
+        """Start the device extraction without blocking (JAX dispatch is
+        async): returns a handle for `finalize`. Enables pipelining the next
+        frame's extraction under the current frame's host work
+        (System.run_sequence)."""
+        h, w = img.shape
+        feats = F.extract_orb(jnp.asarray(img, jnp.float32), self.orb, h, w)
+        return (feats, img, depth_map, right_img)
+
+    def finalize(self, handle, timestamp: float) -> Frame:
+        feats, img, depth_map, right_img = handle
+        return self._assemble(feats, img, timestamp, depth_map, right_img)
+
     def build(self, img: np.ndarray, timestamp: float,
               depth_map: np.ndarray | None = None,
               right_img: np.ndarray | None = None) -> Frame:
+        return self.finalize(self.dispatch(img, depth_map, right_img), timestamp)
+
+    def _assemble(self, feats, img, timestamp: float,
+                  depth_map: np.ndarray | None,
+                  right_img: np.ndarray | None) -> Frame:
         h, w = img.shape
-        feats = F.extract_orb(jnp.asarray(img, jnp.float32), self.orb, h, w)
         xy_raw = np.asarray(feats.xy)
         und = np.asarray(cam_mod.undistort_pixels(self.cfg.camera, feats.xy))
         n = xy_raw.shape[0]

@@ -280,7 +280,7 @@ class LocalMapper:
         observers = np.flatnonzero(
             ((seen[np.clip(mp.kf_pt, 0, None)] & (mp.kf_pt >= 0)).any(axis=1))
             & mp.kf_valid)
-        fixed = [int(k) for k in observers if int(k) not in local][:8]
+        fixed = [int(k) for k in observers if int(k) not in local][:24]
         # gauge fixing: the fixed second ring when present, plus the oldest
         # camera in the window (the reference fixes KF0 only,
         # src/Optimizer.cpp:640-652). The scale direction is then damped-only

@@ -75,34 +75,28 @@ def main(argv=None):
     else:
         it = D.iter_euroc(seq, stereo=True)
 
-    times = []
-    n = 0
-    for ts, frame in it:
-        t0 = time.perf_counter()
-        if sensor == Sensor.MONOCULAR:
-            pose = slam.track_monocular(frame["image"], ts)
-        elif sensor == Sensor.RGBD:
-            pose = slam.track_rgbd(frame["image"], frame["depth"], ts)
-        else:
-            pose = slam.track_stereo(frame["image"], frame["right"], ts)
-        times.append(time.perf_counter() - t0)
-        n += 1
-        if n % 50 == 0:
-            s = slam.map_stats()
-            print(f"frame {n}: {s['state']} kfs={s['keyframes']} "
-                  f"pts={s['points']} inl={s['last_inliers']} loops={s['loops']}",
-                  flush=True)
-        if max_frames and n >= max_frames:
-            break
+    def bounded(it):
+        for n, item in enumerate(it):
+            if max_frames and n >= max_frames:
+                return
+            yield item
+
+    # pipelined: next frame's extraction overlaps current frame's tracking
+    t_start = time.perf_counter()
+    tracked = slam.run_sequence(bounded(it), progress_every=50)
+    total = time.perf_counter() - t_start
+    n = len(slam.metrics.records)
+    times = np.array([r.track_ms for r in slam.metrics.records]) / 1e3 \
+        if n else np.array([total])
 
     out_dir.mkdir(parents=True, exist_ok=True)
     slam.save_trajectory_tum(out_dir / "CameraTrajectory.txt")
     slam.save_keyframe_trajectory_tum(out_dir / "KeyFrameTrajectory.txt")
     if "kitti" in mode:
         slam.save_trajectory_kitti(out_dir / "CameraTrajectoryKITTI.txt")
-    times = np.array(times)
-    print(f"\n{n} frames; median tracking time {np.median(times)*1e3:.1f} ms; "
-          f"mean {times.mean()*1e3:.1f} ms")
+    print(f"\n{n} frames ({tracked} tracked); "
+          f"median tracking time {np.median(times)*1e3:.1f} ms; "
+          f"mean {times.mean()*1e3:.1f} ms; wall {total:.1f} s")
     print(f"map: {slam.map_stats()}")
     return 0
 

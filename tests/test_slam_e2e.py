@@ -150,3 +150,18 @@ class TestAsyncMapping:
         stats = slam.map_stats()
         assert stats["state"] == "OK"
         assert stats["keyframes"] >= 3 and stats["points"] > 300
+
+
+@pytest.mark.slow
+class TestPipelinedSequence:
+    def test_run_sequence_matches_sequential(self):
+        N = 14
+        scene = synth.make_room(seed=0)
+        gt = synth.orbit_trajectory(N)
+        imgs = [synth.render_room(scene, gt[i], seed=i) for i in range(N)]
+        slam = System(make_cfg(scene))
+        tracked = slam.run_sequence(
+            ((i / 30.0, {"image": imgs[i]}) for i in range(N)))
+        assert tracked >= N - 5
+        assert slam.tracking_state == TrackState.OK
+        assert slam.map.n_points > 300
