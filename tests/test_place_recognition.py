@@ -102,3 +102,83 @@ class TestPnP:
         inl = np.asarray(res.inliers)
         assert inl[out].sum() <= 2
         assert int(res.n_inliers) >= 70
+
+
+class TestOrbvocTextParser:
+    def test_parse_dbow2_text_format(self, tmp_path):
+        """Synthesize a tiny vocabulary in the public ORBvoc.txt format
+        (header `k L scoring weighting`, then `parent is_leaf 32_bytes w`)
+        and parse it (TemplatedVocabulary::loadFromTextFile equivalent)."""
+        rng = np.random.default_rng(0)
+        k, L = 2, 2
+        lines = [f"{k} {L} 0 0"]
+        # root children: nodes 1,2 (internal), their children 3..6 (leaves)
+        def node_line(parent, is_leaf, weight):
+            byts = rng.integers(0, 256, 32)
+            return f"{parent} {int(is_leaf)} " + " ".join(map(str, byts)) + \
+                f" {weight:.6f}"
+        lines.append(node_line(0, 0, 0.0))   # node 1
+        lines.append(node_line(0, 0, 0.0))   # node 2
+        lines.append(node_line(1, 1, 0.5))   # node 3 (word 0)
+        lines.append(node_line(1, 1, 0.7))   # node 4 (word 1)
+        lines.append(node_line(2, 1, 0.9))   # node 5 (word 2)
+        lines.append(node_line(2, 1, 1.1))   # node 6 (word 3)
+        p = tmp_path / "voc.txt"
+        p.write_text("\n".join(lines) + "\n")
+        voc = V.load_orbvoc_text(p)
+        assert voc.k == 2 and voc.levels == 2
+        assert voc.n_words == 4
+        np.testing.assert_allclose(sorted(voc.word_weight), [0.5, 0.7, 0.9, 1.1])
+        # children table wired: root -> 1,2 ; 1 -> 3,4 ; 2 -> 5,6
+        assert set(voc.node_children[0][voc.node_children[0] >= 0]) == {1, 2}
+        assert set(voc.node_children[1][voc.node_children[1] >= 0]) == {3, 4}
+        # descent works end-to-end with the device kernel
+        import jax.numpy as jnp
+        from orbslam2_tpu.ops import bow as BOW
+        d = rand_desc(np.random.default_rng(1), 32)
+        words, wvalid = BOW.assign_words(
+            jnp.asarray(voc.node_desc), jnp.asarray(voc.node_children),
+            jnp.asarray(voc.node_word), jnp.asarray(d), jnp.ones(32, bool),
+            voc.levels)
+        assert np.asarray(wvalid).all()
+        assert set(np.asarray(words)) <= {0, 1, 2, 3}
+
+
+class TestKeyFrameDatabase:
+    def _mini_world(self):
+        from orbslam2_tpu.config import SlamConfig
+        from orbslam2_tpu.map.mapstate import MapState
+        from orbslam2_tpu.map.keyframe_db import KeyFrameDatabase
+        cfg = SlamConfig(max_keyframes=16, max_points=256)
+        mp = MapState(cfg, 64)
+        db = KeyFrameDatabase(cfg, mp, n_words=100)
+        return cfg, mp, db
+
+    def _add_kf(self, mp, vec_words, db, k_expected):
+        import numpy as np
+        pose = np.hstack([np.eye(3), np.zeros((3, 1))]).astype(np.float32)
+        k = mp.add_keyframe(pose, 0.0, k_expected, np.zeros((64, 2), np.float32),
+                            np.zeros(64, np.int32), np.zeros(64, np.float32),
+                            np.zeros((64, 8), np.uint32), np.ones(64, bool),
+                            np.full(64, -1, np.int32))
+        vec = np.zeros(100, np.float32)
+        vec[vec_words] = 1.0 / len(vec_words)
+        db.add(k, vec)
+        return k
+
+    def test_reloc_candidates_prefer_shared_words(self):
+        cfg, mp, db = self._mini_world()
+        a = self._add_kf(mp, [1, 2, 3, 4], db, 0)
+        b = self._add_kf(mp, [50, 51, 52, 53], db, 1)
+        q = np.zeros(100, np.float32)
+        q[[1, 2, 3, 9]] = 0.25
+        cands = db.detect_reloc_candidates(q)
+        assert a in cands and b not in cands
+
+    def test_erase_removes_candidate(self):
+        cfg, mp, db = self._mini_world()
+        a = self._add_kf(mp, [1, 2, 3], db, 0)
+        db.erase(a)
+        q = np.zeros(100, np.float32)
+        q[[1, 2, 3]] = 1 / 3
+        assert len(db.detect_reloc_candidates(q)) == 0
