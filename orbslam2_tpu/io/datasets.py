@@ -70,7 +70,11 @@ def load_tum_associations(seq_dir, assoc_file=None):
     return out
 
 
-def iter_tum_rgbd(seq_dir, assoc_file=None, depth_factor=1.0 / 5000.0):
+def iter_tum_rgbd(seq_dir, assoc_file=None, depth_factor=1.0):
+    """Yields raw depth values by default (depth_factor=1.0):
+    cfg.depth_map_factor (DepthMapFactor from the reference YAML,
+    src/Tracking.cpp:165-173) is the single scaling point, applied by
+    FrameBuilder. Pass an explicit factor only for non-standard sources."""
     for ts, rgb, depth in load_tum_associations(seq_dir, assoc_file):
         yield ts, {"image": _imread_gray(rgb),
                    "depth": _imread_depth(depth, depth_factor)}

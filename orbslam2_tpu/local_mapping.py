@@ -45,8 +45,10 @@ class LocalMapper:
         self.bow_encode = bow_encode
         self.sf = F.scale_factors(cfg.orb)
         self.sigma2 = F.sigma2_per_octave(cfg.orb)
-        # recent points: pt_id -> kf index at birth (for culling rules)
-        self.recent: dict[int, int] = {}
+        # recent points: pt_id -> (birth counter, birth keyframe). The birth
+        # keyframe lets us detect a recycled slot (pt_first_kf changed) so a
+        # stale entry can't kill a fresh point that reused the slot.
+        self.recent: dict[int, tuple[int, int]] = {}
         self.kf_counter = 0
 
     def register_keyframe(self, kf: int):
@@ -86,15 +88,18 @@ class LocalMapper:
             return
         mp = self.map
         ids = np.fromiter(self.recent.keys(), np.int64)
-        birth = np.fromiter(self.recent.values(), np.int64)
+        birth = np.array([v[0] for v in self.recent.values()], np.int64)
+        birth_kf = np.array([v[1] for v in self.recent.values()], np.int64)
+        stale = mp.pt_first_kf[ids] != birth_kf  # slot recycled: drop entry
         age = self.kf_counter - birth
         obs = mp.point_obs_count()[ids]
         found_ratio = mp.pt_found[ids] / np.maximum(mp.pt_visible[ids], 1.0)
         min_obs = 2 if self.cfg.sensor == Sensor.MONOCULAR else 3
-        kill = (found_ratio < 0.25) | ((age >= 2) & (obs <= min_obs)) | ~mp.pt_valid[ids]
+        kill = ((found_ratio < 0.25) | ((age >= 2) & (obs <= min_obs))
+                | ~mp.pt_valid[ids]) & ~stale
         graduate = (age >= 3) & ~kill
         mp.remove_points(ids[kill & mp.pt_valid[ids]])
-        for p in ids[kill | graduate]:
+        for p in ids[kill | graduate | stale]:
             self.recent.pop(int(p), None)
 
     def cull_keyframes(self, kf: int):
@@ -178,7 +183,7 @@ class LocalMapper:
             mp.kf_pt[kn, i2o] = pt_ids
             free1[i1o] = False
             for p in pt_ids:
-                self.recent[int(p)] = self.kf_counter
+                self.recent[int(p)] = (self.kf_counter, kf)
             mp.refresh_point_stats(pt_ids)
 
     def _triangulate_pairs(self, k1: int, k2: int, i1, i2):

@@ -68,6 +68,18 @@ class MapState:
         # (the reference's KeyFrame::mTcp spanning-tree chain,
         # include/KeyFrame.h:188-189, walked in SaveTrajectoryTUM)
         self.kf_retired: dict[int, tuple[int, np.ndarray]] = {}
+        # Point-slot lifecycle. The reference relies on pointer identity +
+        # CheckReplacedInLastFrame (src/Tracking.cpp:372) so stale MapPoint*
+        # handles held by the last frame stay dereferenceable; with integer
+        # slots we must not recycle a freed slot while any frame still holds
+        # its id. Freed slots go to a QUARANTINE (_pt_pending) and only become
+        # allocatable after the tracker has scrubbed its frame associations
+        # (release_retired_points). Replacements are recorded in pt_redirect
+        # so scrubbing can follow old id -> surviving id.
+        self.next_pt_id: int = 0
+        self._pt_free: list[int] = []
+        self._pt_pending: list[int] = []
+        self.pt_redirect = np.full(self.pt_xyz.shape[0], -1, np.int32)
 
     def __post_init__(self):
         K, P, N = self.cfg.max_keyframes, self.cfg.max_points, self.n_feat
@@ -100,16 +112,60 @@ class MapState:
 
     # ------------------------------------------------------------------ slots
     def alloc_kf(self) -> int:
-        free = np.flatnonzero(~self.kf_valid)
-        if len(free) == 0:
+        """Monotonic slot allocation — culled slots are NEVER reused.
+
+        Slot reuse would silently corrupt everything keyed by slot id:
+        kf_retired anchor chains, the tracker's frame_log reference-KF ids,
+        and loop edges would all resolve through the NEW occupant's pose
+        (the reference avoids this class of bug with pointer identity).
+        The cost is that max_keyframes bounds keyframes *ever created*, not
+        live ones — acceptable since culled KFs are a small fraction."""
+        k = self.next_kf_id
+        if k >= self.kf_valid.shape[0]:
             raise RuntimeError("keyframe capacity exhausted")
-        return int(free[0])
+        return k
 
     def alloc_points(self, n: int) -> np.ndarray:
-        free = np.flatnonzero(~self.pt_valid)
-        if len(free) < n:
+        """Allocate n point slots: recycled (released) slots first, then
+        fresh ones. Slots in quarantine (_pt_pending) are NOT candidates."""
+        take = min(n, len(self._pt_free))
+        out = self._pt_free[:take]
+        del self._pt_free[:take]
+        fresh = n - take
+        if self.next_pt_id + fresh > self.pt_valid.shape[0]:
+            self._pt_free[:0] = out  # undo
             raise RuntimeError("point capacity exhausted")
-        return free[:n]
+        if fresh:
+            out = out + list(range(self.next_pt_id, self.next_pt_id + fresh))
+            self.next_pt_id += fresh
+        return np.asarray(out, np.int64)
+
+    def release_retired_points(self):
+        """Make quarantined point slots allocatable again. Call ONLY after
+        every live frame's pt_idx has been scrubbed (resolve_point_ids) —
+        the tracker does this at the top of each track() call."""
+        if not self._pt_pending:
+            return
+        self.pt_redirect[self._pt_pending] = -1
+        self._pt_free.extend(self._pt_pending)
+        self._pt_pending.clear()
+
+    def resolve_point_ids(self, ids: np.ndarray) -> np.ndarray:
+        """Map possibly-stale point ids to live ones: follow replacement
+        redirects (MapPoint::GetReplaced semantics), then drop ids whose
+        point is no longer valid. -1 entries pass through."""
+        ids = np.asarray(ids)
+        out = ids.copy()
+        live = out >= 0
+        for _ in range(4):  # redirect chains are short
+            r = self.pt_redirect[np.clip(out, 0, None)]
+            step = live & (r >= 0)
+            if not step.any():
+                break
+            out = np.where(step, r, out)
+        bad = live & ~self.pt_valid[np.clip(out, 0, None)]
+        out[bad] = -1
+        return out
 
     @property
     def kf_ids(self) -> np.ndarray:
@@ -222,6 +278,7 @@ class MapState:
         self.pt_valid[ids] = False
         mask = np.isin(self.kf_pt, ids)
         self.kf_pt[mask] = -1
+        self._pt_pending.extend(int(i) for i in ids)
 
     def replace_point(self, old: int, new: int):
         """MapPoint::Replace (src/MapPoint.cpp:212): redirect observations of
@@ -234,6 +291,8 @@ class MapState:
         self.pt_found[new] += self.pt_found[old]
         self.pt_visible[new] += self.pt_visible[old]
         self.pt_valid[old] = False
+        self.pt_redirect[old] = new
+        self._pt_pending.append(int(old))
 
     # ------------------------------------------------------------ observations
     def observations_of(self, pt_ids: np.ndarray):
@@ -308,6 +367,7 @@ class MapState:
         retired_T = (np.stack([v[1] for v in self.kf_retired.values()])
                      if self.kf_retired else np.zeros((0, 3, 4), np.float32))
         np.savez_compressed(path, n_feat=self.n_feat, next_kf_id=self.next_kf_id,
+                            next_pt_id=self.next_pt_id,
                             retired_k=retired_k, retired_anchor=retired_anchor,
                             retired_T=retired_T, **arrays)
 
@@ -324,6 +384,15 @@ class MapState:
             else:
                 setattr(mp, k, arr.copy())
         mp.next_kf_id = int(z["next_kf_id"])
+        if "next_pt_id" in z:
+            mp.next_pt_id = min(int(z["next_pt_id"]), mp.pt_valid.shape[0])
+        else:  # legacy checkpoint: derive from the highest used slot
+            used = np.flatnonzero(mp.pt_valid)
+            mp.next_pt_id = int(used[-1]) + 1 if len(used) else 0
+        # no live frames hold point ids across a load: all freed slots are
+        # immediately allocatable
+        mp._pt_free = [int(i) for i in
+                       np.flatnonzero(~mp.pt_valid[:mp.next_pt_id])]
         for k, a, T in zip(z["retired_k"], z["retired_anchor"], z["retired_T"]):
             mp.kf_retired[int(k)] = (int(a), T)
         return mp

@@ -43,20 +43,18 @@ def _dlt_pnp(X, uv, fx, fy, cx, cy):
     A = jnp.concatenate([r1, r2], 0)  # [2M, 12]
     _, _, vt = jnp.linalg.svd(A, full_matrices=True)
     P = vt[-1].reshape(3, 4)
+    # cheirality: fix the DLT's overall sign FIRST, on the projective depths
+    # w = P[2]·Xh (majority of points must have w>0 so that M3 ~ +lam*R with
+    # lam>0), THEN project to the nearest rotation. Negating only R after
+    # orthonormalization would leave t inconsistent with the flipped R.
+    w = Xh @ P[2]
+    P = jnp.where(jnp.sum(w > 0) < jnp.sum(w < 0), -P, P)
     M3 = P[:, :3]
     u, s, v = jnp.linalg.svd(M3)
-    det = jnp.linalg.det(u @ v)
-    R = u @ jnp.diag(jnp.array([1.0, 1.0, 1.0]) * jnp.sign(det)) @ v
-    lam = jnp.mean(s) * jnp.sign(det)
-    t = P[:, 3] / jnp.where(jnp.abs(lam) > 1e-12, lam, 1e-12)
-    # cheirality: majority of points must be in front
-    zc = (X @ R.T + t)[:, 2]
-    flip = jnp.sum(zc > 0) < jnp.sum(zc < 0)
-    R = jnp.where(flip, -R, R)
-    t = jnp.where(flip, -t, t)
-    # re-orthonormalize after potential flip (det must stay +1)
-    u2, _, v2 = jnp.linalg.svd(R)
-    R = u2 @ jnp.diag(jnp.array([1.0, 1.0, jnp.linalg.det(u2 @ v2)])) @ v2
+    d = jnp.linalg.det(u @ v)  # +1 in the noiseless case after the sign fix
+    R = u @ jnp.diag(jnp.array([1.0, 1.0, 0.0]).at[2].set(d)) @ v
+    lam = jnp.mean(s)
+    t = P[:, 3] / jnp.maximum(lam, 1e-12)
     return jnp.concatenate([R, t[:, None]], -1)
 
 

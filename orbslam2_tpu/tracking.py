@@ -130,6 +130,15 @@ class Tracker:
                 return frame.pose
             return None
 
+        # CheckReplacedInLastFrame (src/Tracking.cpp:372): the last frame's
+        # point ids may have been replaced/culled by mapping or loop fusion;
+        # follow redirects / drop dead ids, then un-quarantine freed slots
+        # (safe now — no frame holds stale ids any more).
+        if self.last_frame is not None:
+            self.last_frame.pt_idx = self.map.resolve_point_ids(
+                self.last_frame.pt_idx)
+        self.map.release_retired_points()
+
         ok = False
         if self.state == TrackState.OK:
             if self.velocity is not None:
