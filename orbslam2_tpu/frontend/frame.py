@@ -30,6 +30,11 @@ class Frame:
     valid: np.ndarray    # [N]
     depth: np.ndarray    # [N] (-1 mono)
     ur: np.ndarray       # [N] right-image u (-1 mono)
+    patch: np.ndarray = None  # [N, 15, 15] f32 photometric windows centered
+    #                           on the ORIGINAL detection (ops/refine.py)
+    xy0: np.ndarray = None    # [N, 2] pristine undistorted detection coords
+    #                           (refinement mutates xy; xy0 == patch centers)
+    ur0: np.ndarray = None    # [N] pristine right-u measurements
     pose: np.ndarray | None = None        # [3, 4] Tcw
     pt_idx: np.ndarray = field(default=None)  # [N] map point per feature (-1)
     # temporal "VO" points (stereo/RGB-D motion tracking): world positions
@@ -110,12 +115,39 @@ class FrameBuilder:
             ur, depth, _ = stereo_depths_for_frame(self.cfg, feats, right_img)
             ur, depth = np.asarray(ur), np.asarray(depth)
         elif depth_map is not None:
-            # RGB-D: depth lookup at raw keypoint, virtual right coord
-            # (Frame::ComputeStereoFromRGBD, src/Frame.cpp:773-800)
-            xi = np.clip(xy_raw[:, 0].astype(int), 0, w - 1)
-            yi = np.clip(xy_raw[:, 1].astype(int), 0, h - 1)
-            d = depth_map[yi, xi] * self.cfg.depth_map_factor
-            ok = d > 0
+            # RGB-D: depth lookup at the keypoint, virtual right coord
+            # (Frame::ComputeStereoFromRGBD, src/Frame.cpp:773-800). Two
+            # deliberate upgrades over the reference's integer-truncated
+            # lookup, both measured on the synthetic room:
+            # 1. bilinear depth at the subpixel keypoint (truncation costs
+            #    up to 1px of slant-dependent depth error);
+            # 2. reject keypoints on depth DISCONTINUITIES (3x3 range
+            #    > 10% of z): corners that sit on object boundaries have
+            #    ill-defined depth, and their biased virtual-ur edges are
+            #    exactly what pose optimization then locks onto (observed
+            #    as a geometric tracking runaway; the chi2 gate cannot
+            #    reject a structurally-consistent outlier population).
+            dm = depth_map * self.cfg.depth_map_factor
+            x = np.clip(xy_raw[:, 0], 0, w - 1.001)
+            y = np.clip(xy_raw[:, 1], 0, h - 1.001)
+            x0 = x.astype(int)
+            y0 = y.astype(int)
+            fx_ = (x - x0)[:, None]
+            fy_ = (y - y0)[:, None]
+            x1 = np.minimum(x0 + 1, w - 1)
+            y1 = np.minimum(y0 + 1, h - 1)
+            corners = np.stack([dm[y0, x0], dm[y0, x1],
+                                dm[y1, x0], dm[y1, x1]], -1)
+            wgt = np.concatenate([(1 - fx_) * (1 - fy_), fx_ * (1 - fy_),
+                                  (1 - fx_) * fy_, fx_ * fy_], -1)
+            d = (corners * wgt).sum(-1)
+            # 3x3 depth range around the keypoint (discontinuity test)
+            xi = np.clip(np.round(x).astype(int), 1, w - 2)
+            yi = np.clip(np.round(y).astype(int), 1, h - 2)
+            neigh = np.stack([dm[yi + dy, xi + dx]
+                              for dy in (-1, 0, 1) for dx in (-1, 0, 1)], -1)
+            flat_ok = (neigh.max(-1) - neigh.min(-1)) < 0.1 * np.maximum(d, 1e-6)
+            ok = (corners > 0).all(-1) & (d > 0) & flat_ok
             depth = np.where(ok, d, -1.0).astype(np.float32)
             ur = np.where(ok, und[:, 0] - self.cfg.camera.bf / np.maximum(d, 1e-6),
                           -1.0).astype(np.float32)
@@ -131,6 +163,9 @@ class FrameBuilder:
             valid=np.asarray(feats.valid),
             depth=depth,
             ur=ur,
+            patch=np.asarray(feats.patch),
+            xy0=und.copy(),
+            ur0=ur.copy(),
         )
         self._next_id += 1
         return frame

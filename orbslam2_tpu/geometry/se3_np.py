@@ -26,3 +26,24 @@ def camera_center(Tcw: np.ndarray) -> np.ndarray:
 
 def identity() -> np.ndarray:
     return np.hstack([np.eye(3), np.zeros((3, 1))]).astype(np.float32)
+
+
+def orthonormalize(T: np.ndarray) -> np.ndarray:
+    """Project the rotation block onto SO(3) (nearest rotation by SVD).
+
+    Chained f32 pose compositions leak scale into R: the constant-velocity
+    recurrence T_pred = (T_k T_{k-1}^-1) T_k amplifies any det(R) != 1 seed
+    geometrically (measured x2.4/frame on the synthetic room), and the
+    optimizers' left-multiplicative exp(xi) updates can never remove it --
+    det(exp(xi) R) == det(R). A scaled R acts like a focal-length error, so
+    pose optimization stalls centimeters off. Every host-side pose
+    composition that feeds a prediction or a stored pose must pass through
+    here.
+    """
+    R = T[:, :3].astype(np.float64)
+    U, _, Vt = np.linalg.svd(R)
+    R_o = U @ Vt
+    if np.linalg.det(R_o) < 0:
+        R_o = U @ np.diag([1.0, 1.0, -1.0]) @ Vt
+    out = np.hstack([R_o, T[:, 3:4].astype(np.float64)]).astype(np.float32)
+    return out

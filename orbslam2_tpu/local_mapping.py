@@ -25,6 +25,7 @@ from .map.mapstate import MapState
 from .ops import ba as BA
 from .ops import features as F
 from .ops import matching as M
+from .ops import refine as RF
 from .ops import triangulation as TRI
 
 
@@ -59,12 +60,58 @@ class LocalMapper:
                                   self.map.kf_feat_valid[kf])
             self.kf_db.add(kf, vec)
 
+    # ------------------------------------------------------------- refinement
+    def _refine_obs_absolute(self, tkf: int, feats: np.ndarray,
+                             templates: np.ndarray):
+        """Template-align keyframe observations (ops/refine.py): for each
+        (tkf, feats[i]) write kf_xy = kf_xy0 + LK offset vs templates[i].
+        ABSOLUTE w.r.t. the stored window center, so re-refinement against a
+        different template never compounds. Fixed 512-pair buckets."""
+        mp = self.map
+        if len(feats) == 0:
+            return
+        Mb = 512
+        sf = self.sf
+        for s in range(0, len(feats), Mb):
+            f = feats[s:s + Mb]
+            t = templates[s:s + Mb]
+            n = len(f)
+            pad = Mb - n
+            fp = np.concatenate([f, np.zeros(pad, f.dtype)])
+            win = mp.kf_patch[tkf, fp].astype(np.float32)
+            tpl = np.concatenate(
+                [t.astype(np.float32), np.zeros((pad,) + t.shape[1:], np.float32)])
+            vmask = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
+            delta, ok = RF.refine_offsets(
+                jnp.asarray(win), jnp.asarray(tpl), jnp.asarray(vmask))
+            ok = np.asarray(ok) & vmask
+            if not ok.any():
+                continue
+            fo = fp[ok]
+            lv = np.clip(mp.kf_octave[tkf, fo], 0, len(sf) - 1)
+            d = np.asarray(delta)[ok] * sf[lv][:, None]
+            mp.kf_xy[tkf, fo] = mp.kf_xy0[tkf, fo] + d
+            ur0 = mp.kf_ur0[tkf, fo]
+            mp.kf_ur[tkf, fo] = np.where(ur0 >= 0, ur0 + d[:, 0], ur0)
+
+    def refine_bound_observations(self, kf: int):
+        """Re-measure every point-bound feature of a new keyframe against its
+        point's anchor template, so BA edges are template-consistent even
+        when the frame-level refinement used a different (temporal VO)
+        template."""
+        mp = self.map
+        feats = np.flatnonzero(mp.kf_pt[kf] >= 0)
+        if len(feats) == 0:
+            return
+        self._refine_obs_absolute(kf, feats, mp.pt_patch[mp.kf_pt[kf, feats]])
+
     # ---------------------------------------------------------------- process
     def process(self, kf: int):
         """ProcessNewKeyFrame + the per-KF pipeline (LocalMapping::Run,
         src/LocalMapping.cpp:48-170)."""
         self.kf_counter += 1
         self.register_keyframe(kf)
+        self.refine_bound_observations(kf)
         # spanning-tree parent: most covisible KF at insertion
         if self.map.kf_parent[kf] < 0:
             w = self.map.covisibility_weights(kf)
@@ -169,14 +216,25 @@ class LocalMapper:
             if len(i1) == 0:
                 continue
             i2 = midx[i1]
+            # template-align the pair before triangulating: the anchor
+            # observation IS the template center (reset to the pristine
+            # detection), the neighbor observation is LK-refined against it
+            anchor_tpl = np.asarray(
+                RF.template_of(mp.kf_patch[kf, i1].astype(np.float32)))
+            mp.kf_xy[kf, i1] = mp.kf_xy0[kf, i1]
+            mp.kf_ur[kf, i1] = mp.kf_ur0[kf, i1]
+            self._refine_obs_absolute(kn, i2, anchor_tpl)
             ok, X = self._triangulate_pairs(kf, kn, i1, i2)
             i1, i2 = i1[:len(ok)], i2[:len(ok)]
+            anchor_tpl = anchor_tpl[:len(ok)]
             if ok.sum() == 0:
                 continue
             i1o, i2o, Xo = i1[ok], i2[ok], X[ok]
             try:
                 pt_ids = mp.add_points(Xo.astype(np.float32),
-                                       mp.kf_desc[kf, i1o], ref_kf=kf, first_kf=kf)
+                                       mp.kf_desc[kf, i1o], ref_kf=kf,
+                                       first_kf=kf,
+                                       patch=anchor_tpl[ok])
             except RuntimeError:
                 return  # point capacity exhausted
             mp.kf_pt[kf, i1o] = pt_ids
@@ -244,6 +302,7 @@ class LocalMapper:
             float(np.log(self.cfg.orb.scale_factor)), 3.0)
         midx = np.asarray(res.idx)
         touched = []
+        new_feats, new_pts = [], []
         for s in np.flatnonzero(midx >= 0):
             p = int(lp[s])
             feat = int(midx[s])
@@ -263,6 +322,14 @@ class LocalMapper:
             else:
                 mp.kf_pt[dst_kf, feat] = p
                 touched.append(p)
+                new_feats.append(feat)
+                new_pts.append(p)
+        if new_feats:
+            # template-align the fresh observations (merge-branch features
+            # keep their earlier refinement; their templates were duplicates
+            # of the same physical corner)
+            self._refine_obs_absolute(dst_kf, np.asarray(new_feats),
+                                      mp.pt_patch[np.asarray(new_pts)])
         if touched:
             mp.refresh_point_stats(np.unique(touched))
 

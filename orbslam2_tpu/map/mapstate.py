@@ -48,6 +48,8 @@ class MapState:
     kf_ur: np.ndarray = field(init=False)         # [K, N] right-u (-1 mono)
     kf_feat_valid: np.ndarray = field(init=False)
     kf_pt: np.ndarray = field(init=False)         # [K, N] -> point idx or -1
+    kf_patch: np.ndarray = field(init=False)      # [K, N, 15, 15] uint8 photo
+    #                                               windows (ops/refine.py)
 
     # --- map points ---
     pt_valid: np.ndarray = field(init=False)
@@ -60,6 +62,8 @@ class MapState:
     pt_first_kf: np.ndarray = field(init=False)
     pt_visible: np.ndarray = field(init=False)    # IncreaseVisible counter
     pt_found: np.ndarray = field(init=False)      # IncreaseFound counter
+    pt_patch: np.ndarray = field(init=False)      # [P, 11, 11] f32 anchor
+    #                                               template (ops/refine.py)
 
     next_kf_id: int = 0
 
@@ -95,6 +99,14 @@ class MapState:
         self.kf_ur = np.full((K, N), -1.0, np.float32)
         self.kf_feat_valid = np.zeros((K, N), bool)
         self.kf_pt = np.full((K, N), -1, np.int32)
+        from ..ops.features import PATCH_WIN, TEMPLATE_WIN
+        self.kf_patch = np.zeros((K, N, PATCH_WIN, PATCH_WIN), np.uint8)
+        self.pt_patch = np.zeros((P, TEMPLATE_WIN, TEMPLATE_WIN), np.float32)
+        # pristine detection measurements == the kf_patch window centers.
+        # Refinement (ops/refine.py) writes kf_xy = kf_xy0 + delta ABSOLUTELY
+        # so repeated refinement against changing templates never compounds.
+        self.kf_xy0 = np.zeros((K, N, 2), np.float32)
+        self.kf_ur0 = np.full((K, N), -1.0, np.float32)
         self.pt_valid = np.zeros(P, bool)
         self.pt_xyz = np.zeros((P, 3), np.float32)
         self.pt_desc = np.zeros((P, 8), np.uint32)
@@ -181,7 +193,8 @@ class MapState:
 
     # ------------------------------------------------------------- keyframes
     def add_keyframe(self, pose, timestamp, frame_id, xy, octave, angle, desc,
-                     feat_valid, pt_idx, depth=None, ur=None) -> int:
+                     feat_valid, pt_idx, depth=None, ur=None,
+                     patch=None, xy0=None, ur0=None) -> int:
         n = xy.shape[0]
         if n < self.n_feat:  # regular frames are smaller than mono-init frames
             pad = self.n_feat - n
@@ -195,6 +208,12 @@ class MapState:
                 depth = np.pad(depth, (0, pad), constant_values=-1.0)
             if ur is not None:
                 ur = np.pad(ur, (0, pad), constant_values=-1.0)
+            if patch is not None:
+                patch = np.pad(patch, ((0, pad), (0, 0), (0, 0)))
+            if xy0 is not None:
+                xy0 = np.pad(xy0, ((0, pad), (0, 0)))
+            if ur0 is not None:
+                ur0 = np.pad(ur0, (0, pad), constant_values=-1.0)
         k = self.alloc_kf()
         self.kf_valid[k] = True
         self.kf_pose[k] = pose
@@ -210,6 +229,13 @@ class MapState:
             self.kf_depth[k] = depth
         if ur is not None:
             self.kf_ur[k] = ur
+        if patch is not None:
+            # uint8 storage: the blurred image is smooth, so 1-unit rounding
+            # adds ~0.3 units of template noise (below the sensor noise floor)
+            self.kf_patch[k] = np.clip(np.round(patch), 0, 255).astype(np.uint8)
+        self.kf_xy0[k] = xy0 if xy0 is not None else xy
+        self.kf_ur0[k] = (ur0 if ur0 is not None
+                          else (ur if ur is not None else -1.0))
         self.next_kf_id = max(self.next_kf_id, k + 1)
         return k
 
@@ -258,7 +284,8 @@ class MapState:
         return None
 
     # ----------------------------------------------------------------- points
-    def add_points(self, xyz, desc, ref_kf: int, first_kf: int) -> np.ndarray:
+    def add_points(self, xyz, desc, ref_kf: int, first_kf: int,
+                   patch=None) -> np.ndarray:
         ids = self.alloc_points(len(xyz))
         self.pt_valid[ids] = True
         self.pt_xyz[ids] = xyz
@@ -267,6 +294,10 @@ class MapState:
         self.pt_first_kf[ids] = first_kf
         self.pt_visible[ids] = 1.0
         self.pt_found[ids] = 1.0
+        if patch is not None:
+            self.pt_patch[ids] = patch
+        else:
+            self.pt_patch[ids] = 0.0  # no template: refinement is a no-op
         return ids
 
     def remove_points(self, ids: np.ndarray):
@@ -355,6 +386,7 @@ class MapState:
         "kf_feat_valid", "kf_pt", "pt_valid", "pt_xyz", "pt_desc",
         "pt_normal", "pt_min_dist", "pt_max_dist", "pt_ref_kf",
         "pt_first_kf", "pt_visible", "pt_found", "kf_parent",
+        "kf_patch", "pt_patch", "kf_xy0", "kf_ur0",
     )
 
     def save(self, path):
@@ -376,6 +408,8 @@ class MapState:
         z = np.load(path)
         mp = cls(cfg, int(z["n_feat"]))
         for k in cls._ARRAY_FIELDS:
+            if k not in z:  # checkpoint from before this field existed
+                continue
             arr = z[k]
             tgt = getattr(mp, k)
             if arr.shape != tgt.shape:  # allow capacity growth across loads

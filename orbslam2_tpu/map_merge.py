@@ -101,7 +101,8 @@ def merge_maps(sys_a, map_b: MapState) -> bool:
     b_pts = np.flatnonzero(map_b.pt_valid)
     new_xyz = (s_w * (map_b.pt_xyz[b_pts] @ R_w.T) + t_w).astype(np.float32)
     pt_map = {}  # B point id -> A point id
-    ids = mp_a.add_points(new_xyz, map_b.pt_desc[b_pts], ref_kf=0, first_kf=0)
+    ids = mp_a.add_points(new_xyz, map_b.pt_desc[b_pts], ref_kf=0, first_kf=0,
+                          patch=map_b.pt_patch[b_pts])
     for bp, ap in zip(b_pts, ids):
         pt_map[int(bp)] = int(ap)
 
@@ -124,7 +125,9 @@ def merge_maps(sys_a, map_b: MapState) -> bool:
             T_new, map_b.kf_timestamp[kb], int(map_b.kf_frame_id[kb]),
             map_b.kf_xy[kb], map_b.kf_octave[kb], map_b.kf_angle[kb],
             map_b.kf_desc[kb], map_b.kf_feat_valid[kb], pt_idx,
-            depth=map_b.kf_depth[kb], ur=map_b.kf_ur[kb])
+            depth=map_b.kf_depth[kb], ur=map_b.kf_ur[kb],
+            patch=map_b.kf_patch[kb], xy0=map_b.kf_xy0[kb],
+            ur0=map_b.kf_ur0[kb])
         kf_map[kb] = ka_new
         sys_a.local_mapper.register_keyframe(ka_new)
         mp_a.kf_parent[ka_new] = kf_map.get(int(map_b.kf_parent[kb]), W["ka"])

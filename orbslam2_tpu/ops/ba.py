@@ -90,8 +90,12 @@ def _edge_terms(p: BAProblem, cam_T, pts, e_active, fx, fy, cx, cy, bf, robust):
     # overflow f32 in the H assembly (observed: z=0.009 -> chi2 2e5 -> NaN)
     usable = e_active & (z > MIN_DEPTH) & (chi2 < CHI2_TRIM)
     m = usable.astype(jnp.float32) * w * p.e_info
+    # accept/reject objective must match the (robust) step model: comparing
+    # raw chi2 lets a few large outliers dominate the test and drives LM to
+    # the L2 optimum instead of the Huber one (see ba_core.robust_cost)
+    rho = BC.robust_cost(chi2, p.e_stereo, robust)
     cost = jnp.sum(jnp.where(e_active & (z > MIN_DEPTH),
-                             jnp.minimum(chi2, CHI2_TRIM), 0.0))
+                             jnp.minimum(rho, CHI2_TRIM), 0.0))
     return res, Jp, Jpt, m, cost, chi2, z
 
 

@@ -98,3 +98,21 @@ def chi2_and_weight(res, is_stereo, info, robust: bool):
     else:
         w = jnp.ones_like(sq)
     return sq, w
+
+
+def robust_cost(chi2, is_stereo, robust: bool):
+    """The OBJECTIVE the LM accept/reject test must track.
+
+    With the Huber kernel active this is rho(chi2) = chi2 inside delta^2,
+    2*delta*sqrt(chi2) - delta^2 outside (g2o RobustKernelHuber::robustify).
+    Comparing raw chi2 while stepping on the robust model lets a handful of
+    large outliers (chi2 in the hundreds) dominate the accept test and drag
+    the pose toward the L2 optimum -- measured as tracking locking onto a
+    pose 20-40 cm off with ~500 correct observations available.
+    """
+    if not robust:
+        return chi2
+    delta2 = jnp.where(is_stereo, CHI2_STEREO, CHI2_MONO)
+    delta = jnp.sqrt(delta2)
+    return jnp.where(chi2 <= delta2, chi2,
+                     2.0 * delta * jnp.sqrt(jnp.maximum(chi2, 1e-12)) - delta2)

@@ -41,6 +41,13 @@ from ..config import OrbParams
 HALF_PATCH = 15
 PATCH = 31
 EDGE_BORDER = 20  # reference EDGE_THRESHOLD=19 (src/ORBextractor.cpp:76)
+# Photometric template window per keypoint: 15x15 search patch (allows +-2px
+# LK refinement of an 11x11 template) sampled at the subpixel detection
+# position from the blurred level image. The reference achieves subpixel
+# consistency only for stereo via SAD slides (src/Frame.cpp:662-750); here a
+# stored patch gives every observation a template to align against.
+PATCH_WIN = 15
+TEMPLATE_WIN = 11
 
 # FAST-9/16 Bresenham circle of radius 3, (dy, dx), clockwise.
 _CIRCLE = np.array(
@@ -282,6 +289,8 @@ class FrameFeatures(NamedTuple):
     octave: jnp.ndarray    # [N] int32
     desc: jnp.ndarray      # [N, 8] uint32 (256-bit)
     valid: jnp.ndarray     # [N] bool
+    patch: jnp.ndarray     # [N, 15, 15] float32, blurred level-image window
+    #                        centered exactly on the subpixel keypoint
 
     @property
     def capacity(self) -> int:
@@ -519,13 +528,32 @@ def extract_orb(img, params: OrbParams, height: int, width: int) -> FrameFeature
     weights = jnp.asarray((2 ** np.arange(32)).astype(np.uint32))
     desc = jnp.sum(words * weights[None, None, :], axis=-1, dtype=jnp.uint32)
 
+    # ---- photometric patches: bilinear 15x15 windows on the blurred level
+    # image, centered exactly at the subpixel keypoint (LK templates) ----
+    px = xs.astype(jnp.float32) + dx_sub
+    py = ys.astype(jnp.float32) + dy_sub
+    r = PATCH_WIN // 2
+    off = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    gxq = px[:, None, None] + off[None, None, :]   # [K, 1, 15]
+    gyq = py[:, None, None] + off[None, :, None]   # [K, 15, 1]
+    x0 = jnp.clip(jnp.floor(gxq).astype(jnp.int32), 0, W0 - 2)
+    y0 = jnp.clip(jnp.floor(gyq).astype(jnp.int32), 0, H0 - 2)
+    fx_ = jnp.clip(gxq - x0, 0.0, 1.0)
+    fy_ = jnp.clip(gyq - y0, 0.0, 1.0)
+    base = lvl[:, None, None] * (H0 * W0)
+
+    def samp(yy, xx):
+        return jnp.take(flat, base + yy * W0 + xx)
+
+    patch = ((samp(y0, x0) * (1 - fx_) + samp(y0, x0 + 1) * fx_) * (1 - fy_)
+             + (samp(y0 + 1, x0) * (1 - fx_) + samp(y0 + 1, x0 + 1) * fx_) * fy_)
+
     # ---- scale coords to level 0, pad to capacity ----
     sf = jnp.asarray(scale_factors(params))[lvl]
-    xy = jnp.stack([(xs.astype(jnp.float32) + dx_sub) * sf,
-                    (ys.astype(jnp.float32) + dy_sub) * sf], -1)
+    xy = jnp.stack([px * sf, py * sf], -1)
 
     feats = FrameFeatures(xy=xy, response=resp, angle=ang, octave=lvl,
-                          desc=desc, valid=valid)
+                          desc=desc, valid=valid, patch=patch)
     cap = padded_capacity(params.n_features)
     n = xy.shape[0]
     if n < cap:
@@ -537,6 +565,7 @@ def extract_orb(img, params: OrbParams, height: int, width: int) -> FrameFeature
             octave=jnp.pad(feats.octave, (0, pad)),
             desc=jnp.pad(feats.desc, ((0, pad), (0, 0))),
             valid=jnp.pad(feats.valid, (0, pad)),
+            patch=jnp.pad(feats.patch, ((0, pad), (0, 0), (0, 0))),
         )
     return feats
 

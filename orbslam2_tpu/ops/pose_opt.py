@@ -36,7 +36,10 @@ def _normal_system(T, pts, obs, is_stereo, info, active, fx, fy, cx, cy, bf, rob
     m = (active & depth_ok & (chi2 < 1e5)).astype(jnp.float32) * w * info
     H = jnp.einsum("nri,n,nrj->ij", Jp, m, Jp)
     g = -jnp.einsum("nri,n,nr->i", Jp, m, res)
-    cost = jnp.sum(jnp.where(active & depth_ok, jnp.minimum(chi2, 1e6), 0.0))
+    # the accept/reject objective MUST be the same (robust) cost the step
+    # model minimizes (see ba_core.robust_cost)
+    rho = BC.robust_cost(chi2, is_stereo, robust)
+    cost = jnp.sum(jnp.where(active & depth_ok, jnp.minimum(rho, 1e6), 0.0))
     return H, g, cost, chi2, depth_ok
 
 

@@ -30,10 +30,12 @@ from .frontend import matcher as FM
 from .geometry import se3
 from .geometry import se3_np
 from .map.mapstate import MapState
+from .geometry import camera as cam_mod
 from .ops import ba as BA
 from .ops import features as F
 from .ops import matching as M
 from .ops import pose_opt as PO
+from .ops import refine as RF
 from .ops import twoview as TV
 
 
@@ -83,6 +85,51 @@ class Tracker:
     def _next_key(self):
         self._rng, k = jax.random.split(self._rng)
         return k
+
+    def _refine_measurements(self, frame: Frame, mask: np.ndarray,
+                             templates: np.ndarray):
+        """Feature-metric re-measurement (ops/refine.py): align the masked
+        features' photometric windows to the given per-feature templates
+        [N, 11, 11] and shift their measured positions by the recovered
+        subpixel offset. Skips features already refined this frame (windows
+        are centered on the ORIGINAL detection, so a second application
+        would double-count the shift)."""
+        if frame.patch is None:
+            return
+        if not hasattr(frame, "_refined"):
+            frame._refined = np.zeros(frame.capacity, bool)
+        mask = mask & ~frame._refined
+        if not mask.any():
+            return
+        delta, ok = RF.refine_offsets(
+            jnp.asarray(frame.patch), jnp.asarray(templates.astype(np.float32)),
+            jnp.asarray(mask))
+        ok = _np(ok) & mask
+        if not ok.any():
+            return
+        delta = _np(delta)
+        frame._refined |= ok
+        sf = self.sf[np.clip(frame.octave, 0, len(self.sf) - 1)]
+        frame.xy_raw = frame.xy_raw + delta * (sf * ok)[:, None]
+        und = _np(cam_mod.undistort_pixels(
+            self.cfg.camera, jnp.asarray(frame.xy_raw)))
+        # the offset is measured in raw-image pixels; for the undistorted
+        # coords this assumes a locally-identity undistortion Jacobian (exact
+        # for distortion-free cameras, <1% error at typical k1)
+        frame.xy = np.where(ok[:, None], und, frame.xy)
+        # the virtual/matched right-u shifts with u (keeps disparity for
+        # stereo, keeps ur == u - bf/z for RGB-D)
+        has_ur = ok & (frame.ur >= 0)
+        frame.ur = np.where(has_ur, frame.ur + delta[:, 0] * sf, frame.ur)
+
+    def _refine_against_points(self, frame: Frame, feat_mask: np.ndarray):
+        """Refine the masked features against their bound map points'
+        anchor templates."""
+        pt = np.clip(frame.pt_idx, 0, None)
+        mask = feat_mask & (frame.pt_idx >= 0)
+        if not mask.any():
+            return
+        self._refine_measurements(frame, mask, self.map.pt_patch[pt])
 
     def _pose_optimize(self, frame: Frame) -> int:
         """Run motion-only BA on the frame's current point associations and
@@ -154,8 +201,11 @@ class Tracker:
         if ok:
             self.state = TrackState.OK
             if self.last_frame is not None and self.last_frame.pose is not None:
-                self.velocity = se3_np.compose(
-                    frame.pose, se3_np.inverse(self.last_frame.pose))
+                # orthonormalized: f32 scale leakage in this composition is
+                # otherwise amplified geometrically by the prediction
+                # recurrence (se3_np.orthonormalize)
+                self.velocity = se3_np.orthonormalize(se3_np.compose(
+                    frame.pose, se3_np.inverse(self.last_frame.pose)))
             # localization-only mode: track against the frozen map
             # (System::ActivateLocalizationMode, src/System.cpp:267)
             if not self.localization_only and self._need_new_keyframe(frame):
@@ -208,6 +258,16 @@ class Tracker:
             self.init_ref = None
             return
         m = idx >= 0
+        # refine the second view's measurements against the reference
+        # frame's windows so H/F estimation + triangulation see subpixel-
+        # consistent correspondences
+        if ref.patch is not None:
+            mask_cur = np.zeros(frame.capacity, bool)
+            mask_cur[idx[m]] = True
+            templates = np.zeros((frame.capacity,) + self.map.pt_patch.shape[1:],
+                                 np.float32)
+            templates[idx[m]] = _np(RF.template_of(ref.patch[m]))
+            self._refine_measurements(frame, mask_cur, templates)
         xy2 = np.zeros_like(ref.xy)
         xy2[m] = frame.xy[idx[m]]
         tv = TV.initialize_two_view(
@@ -231,17 +291,20 @@ class Tracker:
         frame.pose = T1
 
         pt_ids = mp.add_points(X[good].astype(np.float32),
-                               ref.desc[good], ref_kf=0, first_kf=0)
+                               ref.desc[good], ref_kf=0, first_kf=0,
+                               patch=(_np(RF.template_of(ref.patch[good]))
+                                      if ref.patch is not None else None))
         pt_of_ref = np.full(ref.capacity, -1, np.int32)
         pt_of_ref[np.flatnonzero(good)] = pt_ids
         pt_of_cur = np.full(frame.capacity, -1, np.int32)
         pt_of_cur[idx[good]] = pt_ids
 
         k0 = mp.add_keyframe(T0, ref.timestamp, ref.frame_id, ref.xy, ref.octave,
-                             ref.angle, ref.desc, ref.valid, pt_of_ref)
+                             ref.angle, ref.desc, ref.valid, pt_of_ref,
+                             patch=ref.patch, xy0=ref.xy0)
         k1 = mp.add_keyframe(T1, frame.timestamp, frame.frame_id, frame.xy,
                              frame.octave, frame.angle, frame.desc, frame.valid,
-                             pt_of_cur)
+                             pt_of_cur, patch=frame.patch, xy0=frame.xy0)
         mp.pt_ref_kf[pt_ids] = k1
 
         # global BA on the initial map, 20 iters (src/Tracking.cpp:907)
@@ -293,12 +356,15 @@ class Tracker:
         x = (frame.xy[ids, 0] - cam.cx) / cam.fx * z
         y = (frame.xy[ids, 1] - cam.cy) / cam.fy * z
         X = np.stack([x, y, z], -1).astype(np.float32)
-        pt_ids = mp.add_points(X, frame.desc[ids], ref_kf=0, first_kf=0)
+        pt_ids = mp.add_points(X, frame.desc[ids], ref_kf=0, first_kf=0,
+                               patch=(_np(RF.template_of(frame.patch[ids]))
+                                      if frame.patch is not None else None))
         pt_of = np.full(frame.capacity, -1, np.int32)
         pt_of[ids] = pt_ids
         mp.add_keyframe(frame.pose, frame.timestamp, frame.frame_id, frame.xy,
                         frame.octave, frame.angle, frame.desc, frame.valid,
-                        pt_of, depth=frame.depth, ur=frame.ur)
+                        pt_of, depth=frame.depth, ur=frame.ur,
+                        patch=frame.patch, xy0=frame.xy0, ur0=frame.ur0)
         mp.refresh_point_stats(pt_ids)
         frame.pt_idx = pt_of
         self.ref_kf = 0
@@ -313,15 +379,24 @@ class Tracker:
     def _track_with_motion_model(self, frame: Frame) -> bool:
         """TrackWithMotionModel (src/Tracking.cpp:1161-1243)."""
         last = self.last_frame
-        frame.pose = se3_np.compose(self.velocity, last.pose)
+        frame.pose = se3_np.orthonormalize(
+            se3_np.compose(self.velocity, last.pose))
         pt = last.pt_idx
         ok = (pt >= 0) & self.map.pt_valid[np.clip(pt, 0, None)]
         pts_xyz = self.map.pt_xyz[np.clip(pt, 0, None)].copy()
         pt_desc = self.map.pt_desc[np.clip(pt, 0, None)].copy()
-        if self.cfg.sensor != Sensor.MONOCULAR:
+        if self.cfg.sensor != Sensor.MONOCULAR and self.localization_only \
+                and last.frame_id != self.last_kf_frame_id:
             # temporal "VO" points: unmatched last-frame features with depth
             # are backprojected for motion-model matching
-            # (Tracking::UpdateLastFrame, src/Tracking.cpp:1065-1160)
+            # (Tracking::UpdateLastFrame, src/Tracking.cpp:1065-1160).
+            # LOCALIZATION-ONLY: upstream ORB-SLAM2 gates this on
+            # mbOnlyTracking (the annotated fork dropped that check). In
+            # mapping mode these points backproject the LAST frame's pose
+            # error into pseudo-landmarks that then outvote the map in pose
+            # optimization -- a positive feedback loop we measured as
+            # geometric (x2.5/frame) trajectory runaway on the synthetic
+            # room. With a live map the close points come from keyframes.
             tmp = (~ok) & last.valid & (last.depth > 0) & \
                 (last.depth < 2 * self.cfg.close_depth_threshold)
             if tmp.any() and last.pose is not None:
@@ -364,6 +439,16 @@ class Tracker:
         if len(tmp_src):
             frame.tmp_xyz[midx[tmp_src]] = pts_xyz[tmp_src]
             frame.tmp_valid[midx[tmp_src]] = True
+        # feature-metric re-measurement: map-point matches align to the
+        # point's anchor template; temporal VO matches align to the last
+        # frame's window (frame-to-frame consistency)
+        templates = self.map.pt_patch[np.clip(frame.pt_idx, 0, None)].copy()
+        mask = frame.pt_idx >= 0
+        if len(tmp_src) and last.patch is not None:
+            cur = midx[tmp_src]
+            templates[cur] = _np(RF.template_of(last.patch[tmp_src]))
+            mask[cur] = True
+        self._refine_measurements(frame, mask, templates)
         n_inl = self._pose_optimize(frame)
         self.matches_inliers = n_inl
         return n_inl >= 10
@@ -390,6 +475,7 @@ class Tracker:
         frame.pt_idx = np.full(frame.capacity, -1, np.int32)
         src = np.flatnonzero(midx >= 0)
         frame.pt_idx[midx[src]] = mp.kf_pt[k, src]
+        self._refine_against_points(frame, frame.pt_idx >= 0)
         n_inl = self._pose_optimize(frame)
         self.matches_inliers = n_inl
         return n_inl >= 10
@@ -464,6 +550,8 @@ class Tracker:
             if frame.pt_idx[kp] < 0:
                 frame.pt_idx[kp] = lp_pad[s]
 
+        # refine the NEW associations (earlier-stage ones are already done)
+        self._refine_against_points(frame, frame.pt_idx >= 0)
         n_inl = self._pose_optimize(frame)
         matched = frame.pt_idx[frame.pt_idx >= 0]
         mp.pt_found[matched] += 1
@@ -510,7 +598,8 @@ class Tracker:
         k = mp.add_keyframe(frame.pose, frame.timestamp, frame.frame_id,
                             frame.xy, frame.octave, frame.angle, frame.desc,
                             frame.valid, frame.pt_idx,
-                            depth=frame.depth, ur=frame.ur)
+                            depth=frame.depth, ur=frame.ur, patch=frame.patch,
+                            xy0=frame.xy0, ur0=frame.ur0)
         if self.cfg.sensor != Sensor.MONOCULAR:
             self._spawn_depth_points(frame, k)
         self.ref_kf = k
@@ -536,7 +625,9 @@ class Tracker:
         Xc = np.stack([x, y, z], -1)
         Xw = Xc @ Twc_R.T + Ow
         pt_ids = mp.add_points(Xw.astype(np.float32), frame.desc[ids],
-                               ref_kf=k, first_kf=k)
+                               ref_kf=k, first_kf=k,
+                               patch=(_np(RF.template_of(frame.patch[ids]))
+                                      if frame.patch is not None else None))
         mp.kf_pt[k, ids] = pt_ids
         frame.pt_idx[ids] = pt_ids
         mp.refresh_point_stats(pt_ids)
