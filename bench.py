@@ -8,9 +8,21 @@ subsequent frame with the single-dispatch fused program
 projection-guided Hamming matching -> 4x10 LM pose optimization).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-Baseline: the reference (ORB-SLAM2) is real-time at 30 fps on CPU for
-TUM-class sequences (BASELINE.md; pacing loop Examples/Monocular/
-mono_tum.cc:97-105), so vs_baseline = fps / 30.
+vs_baseline: the reference binary, built from /root/reference and run
+head-to-head on this machine (BASELINE.md "MEASURED baseline"), tracks at
+33.7 ms/frame median = 29.7 fps on CPU; we keep the 30 fps figure the
+reference also targets as its real-time budget (pacing loop
+Examples/Monocular/mono_tum.cc:97-105), so vs_baseline = fps / 30.
+
+MEASUREMENT HYGIENE (matters enormously on remote-attached TPU runtimes):
+the timed loop must never read device data back to the host. On the axon
+relay, the first device->host transfer costs ~1 min of lazy transfer-path
+setup, and afterwards the process permanently drops into a
+round-trip-per-sync mode (~24 ms per blocking call, measured). So the map
+build runs as a jitted device program, all sanity checks read back only
+AFTER the timing loop, and the loop itself is async-dispatched with a
+single block_until_ready at the end (frames form a true dependency chain
+through the pose, as a pipelined production driver would run them).
 """
 import json
 import sys
@@ -33,80 +45,78 @@ def main():
     H, W = 480, 640
     fx = fy = 500.0
     cx, cy = 320.0, 240.0
-    N_WARM, N_MEAS = 4, 40
+    N_WARM, N_MEAS, N_REP = 4, 40, 5
 
     scene = synth.make_scene(seed=0, width=W, height=H, fx=fx, fy=fy)
     gt = synth.orbit_trajectory(N_WARM + N_MEAS + 1)
     sf = jnp.asarray(F.scale_factors(params))
     sig2 = jnp.asarray(F.sigma2_per_octave(params))
 
-    # --- build the map from frame 0: associate extracted keypoints to the
-    # known 3D squares they sit on ---
-    img0 = synth.render(scene, gt[0], seed=0)
-    f0 = F.extract_orb(jnp.asarray(img0), params, H, W)
-    xy0 = np.asarray(f0.xy)
-    valid0 = np.asarray(f0.valid)
-    pc = scene.pts @ gt[0][:, :3].T + gt[0][:, 3]
-    u_s = fx * pc[:, 0] / pc[:, 2] + cx
-    v_s = fy * pc[:, 1] / pc[:, 2] + cy
-    half_px = scene.size_world * fx / pc[:, 2]
+    # --- frame-0 map build, entirely on device: associate extracted
+    # keypoints to the known 3D squares they sit on (nearest projected
+    # scene point within the square's pixel footprint) ---
+    pc = scene.pts @ gt[0][:, :3].T + gt[0][:, 3]          # host numpy
+    u_s = (fx * pc[:, 0] / pc[:, 2] + cx).astype(np.float32)
+    v_s = (fy * pc[:, 1] / pc[:, 2] + cy).astype(np.float32)
+    half_px = (scene.size_world * fx / pc[:, 2]).astype(np.float32)
 
-    cap = 1024
-    pts_xyz = np.zeros((cap, 3), np.float32)
-    pt_desc = np.zeros((cap, 8), np.uint32)
-    pt_oct = np.zeros(cap, np.int32)
-    pt_valid = np.zeros(cap, bool)
-    desc0 = np.asarray(f0.desc)
-    oct0 = np.asarray(f0.octave)
-    n = 0
-    for i in np.flatnonzero(valid0):
-        d2 = (u_s - xy0[i, 0]) ** 2 + (v_s - xy0[i, 1]) ** 2
-        j = int(np.argmin(d2))
-        # keypoint must sit on/near square j (corners are at +-half_px)
-        if d2[j] < (2.0 * half_px[j]) ** 2 and n < cap:
-            pts_xyz[n] = scene.pts[j]
-            pt_desc[n] = desc0[i]
-            pt_oct[n] = oct0[i]
-            pt_valid[n] = True
-            n += 1
-    if n < 100:
-        print(json.dumps({"metric": "tracked_frames_per_s_per_chip", "value": 0.0,
-                          "unit": "fps", "vs_baseline": 0.0, "error": "map build failed"}))
-        return 1
+    @jax.jit
+    def build_map(img0, scene_pts, u_s, v_s, half_px):
+        f0 = F.extract_orb(img0, params, H, W)
+        d2 = ((u_s[None, :] - f0.xy[:, 0:1]) ** 2
+              + (v_s[None, :] - f0.xy[:, 1:2]) ** 2)       # [K, S]
+        j = jnp.argmin(d2, axis=1)
+        dj = jnp.take_along_axis(d2, j[:, None], axis=1)[:, 0]
+        gate = f0.valid & (dj < (2.0 * half_px[j]) ** 2)
+        return scene_pts[j], f0.desc, f0.octave, gate
+
+    img0 = jnp.asarray(synth.render(scene, gt[0], seed=0))
+    pts_xyz, pt_desc, pt_oct, pt_valid = build_map(
+        img0, jnp.asarray(scene.pts.astype(np.float32)),
+        jnp.asarray(u_s), jnp.asarray(v_s), jnp.asarray(half_px))
+    n_map = jnp.sum(pt_valid)  # device scalar; read back after timing
 
     args_static = dict(params=params, height=H, width=W, fx=fx, fy=fy,
                        cx=cx, cy=cy, bf=0.0)
-    jp = (jnp.asarray(pts_xyz), jnp.asarray(pt_desc), jnp.asarray(pt_oct),
-          jnp.asarray(pt_valid))
+    jp = (pts_xyz, pt_desc, pt_oct, pt_valid)
 
     imgs = [jnp.asarray(synth.render(scene, gt[i], seed=i))
             for i in range(1, N_WARM + N_MEAS + 1)]
+    T0 = jnp.asarray(gt[0])
 
     # warmup (compile)
-    T = jnp.asarray(gt[0])
-    inl_hist = []
+    T = T0
     for i in range(N_WARM):
         T, ninl, _ = tracking_step(imgs[i], T, *jp, sf, sig2, **args_static)
     jax.block_until_ready(T)
 
-    # async dispatch, one final sync: frames form a device-side dependency
-    # chain through T, so this measures true sequential per-frame device
-    # throughput with host/tunnel latency overlapped (as a pipelined
-    # production driver would run it)
+    # async dispatch, one final sync per repeat: frames form a device-side
+    # dependency chain through T, so this measures true sequential
+    # per-frame device throughput with host/tunnel latency overlapped (as
+    # a pipelined production driver would run it). No readbacks inside.
+    per_frame_ms = []
     ninls = []
-    t0 = time.perf_counter()
-    for i in range(N_WARM, N_WARM + N_MEAS):
-        T, ninl, _ = tracking_step(imgs[i], T, *jp, sf, sig2, **args_static)
-        ninls.append(ninl)
-    jax.block_until_ready(T)
-    total = time.perf_counter() - t0
-    inl_hist = [int(x) for x in ninls]
+    for rep in range(N_REP):
+        T = T0
+        rep_ninls = []
+        t0 = time.perf_counter()
+        for i in range(N_WARM, N_WARM + N_MEAS):
+            T, ninl, _ = tracking_step(imgs[i], T, *jp, sf, sig2,
+                                       **args_static)
+            rep_ninls.append(ninl)
+        jax.block_until_ready(T)
+        per_frame_ms.append((time.perf_counter() - t0) / N_MEAS * 1e3)
+        if rep == 0:
+            ninls = rep_ninls
 
-    med = total / N_MEAS
-    fps = 1.0 / med
+    # ---- measurement over; readbacks are allowed from here on ----
+    med = float(np.median(per_frame_ms))
+    fps = 1000.0 / med
+    inl_hist = [int(x) for x in ninls]
     med_inl = int(np.median(inl_hist))
+    map_ok = int(n_map) >= 100
     # sanity: it must actually be tracking (enough inliers throughout)
-    tracking_ok = med_inl >= 50
+    tracking_ok = map_ok and med_inl >= 50
     result = {
         "metric": "tracked_frames_per_s_per_chip",
         "value": round(fps, 2) if tracking_ok else 0.0,
@@ -114,8 +124,11 @@ def main():
         "vs_baseline": round(fps / 30.0, 3) if tracking_ok else 0.0,
     }
     print(json.dumps(result))
-    print(f"# median frame {med*1e3:.2f} ms, median inliers {med_inl}, "
-          f"frames {N_MEAS}, device {jax.devices()[0].platform}", file=sys.stderr)
+    print(f"# median frame {med:.3f} ms (reps: "
+          f"{', '.join(f'{m:.3f}' for m in per_frame_ms)}), "
+          f"median inliers {med_inl}, map points {int(n_map)}, "
+          f"frames {N_MEAS}x{N_REP}, device {jax.devices()[0].platform}",
+          file=sys.stderr)
     return 0
 
 

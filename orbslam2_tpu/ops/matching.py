@@ -23,18 +23,28 @@ import numpy as np
 TH_HIGH = 100
 TH_LOW = 50
 HISTO_LENGTH = 30
-BIG = jnp.int32(1 << 20)
+# Python int, NOT jnp.int32: a module-level device array captured as a jit
+# closure constant forces the runtime onto a slow synchronous dispatch path
+# (~23 ms/call on the axon TPU tunnel, measured) that persists for the whole
+# process. Trace-time constants and plain ints lower identically and stay on
+# the fast path.
+BIG = 1 << 20
 
 
 def hamming_matrix(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:
     """[A, 8] u32 x [B, 8] u32 -> [A, B] int32 Hamming distances.
 
-    On TPU backends with tile-aligned shapes this routes to the Pallas
-    kernel (ops/pallas_kernels.py); otherwise the XLA expression below
-    (identical results)."""
+    With ORBSLAM2_TPU_PALLAS=1 and tile-aligned shapes this routes to the
+    Pallas kernel (ops/pallas_kernels.py); the default is the XLA
+    expression below (identical results, same speed for this op — it is
+    VPU/HBM-trivial either way). The XLA path is the default because on
+    remote-attached TPU runtimes (the axon relay used for benching),
+    programs containing Pallas custom calls stop pipelining once the
+    process has done any device->host transfer (~15 ms per dispatch,
+    measured), while pure-XLA programs keep overlapping."""
     from . import pallas_kernels as PK
     A, B = desc_a.shape[0], desc_b.shape[0]
-    if (PK.pallas_available() and A % PK.TILE_A == 0 and B % PK.TILE_B == 0):
+    if (PK.pallas_enabled() and A % PK.TILE_A == 0 and B % PK.TILE_B == 0):
         return PK.hamming_matrix_pallas(desc_a, desc_b)
     x = jnp.bitwise_xor(desc_a[:, None, :], desc_b[None, :, :])
     return jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)

@@ -69,3 +69,10 @@ def pallas_available() -> bool:
         return jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover
         return False
+
+
+def pallas_enabled() -> bool:
+    """Opt-in dispatch gate for the matchers (see ops/matching.py
+    hamming_matrix for why the default is the XLA path)."""
+    import os
+    return os.environ.get("ORBSLAM2_TPU_PALLAS") == "1" and pallas_available()
