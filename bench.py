@@ -129,7 +129,50 @@ def main():
           f"median inliers {med_inl}, map points {int(n_map)}, "
           f"frames {N_MEAS}x{N_REP}, device {jax.devices()[0].platform}",
           file=sys.stderr)
+
+    # --- secondary (stderr): FULL System throughput — init, mapping, BA,
+    # keyframes, loop machinery all live (tracking.Tracker._track_fused
+    # steady-state path). Not the headline metric; recorded for VERDICT
+    # item "full-System TPU fps". ---
+    try:
+        full = _full_system_fps()
+        print(f"# full-System: {full}", file=sys.stderr)
+    except Exception as e:  # never fail the bench on the secondary number
+        print(f"# full-System: failed ({type(e).__name__}: {e})",
+              file=sys.stderr)
     return 0
+
+
+def _full_system_fps():
+    import time
+    import numpy as np
+    from orbslam2_tpu.config import SlamConfig, Sensor, with_camera
+    from orbslam2_tpu.io import synth
+    from orbslam2_tpu.system import System
+
+    n_frames = 40
+    scene = synth.make_room(seed=0)
+    gt = synth.orbit_trajectory(n_frames)
+    cfg = with_camera(
+        SlamConfig(sensor=Sensor.MONOCULAR),
+        fx=float(scene.K[0, 0]), fy=float(scene.K[1, 1]),
+        cx=float(scene.K[0, 2]), cy=float(scene.K[1, 2]),
+        k1=0.0, k2=0.0, p1=0.0, p2=0.0, k3=0.0,
+        width=scene.width, height=scene.height)
+    slam = System(cfg)
+    imgs = [np.clip(synth.render_room(scene, gt[i], seed=i), 0, 255
+                    ).astype(np.uint8) for i in range(n_frames)]
+    times = []
+    tracked = 0
+    for i, img in enumerate(imgs):
+        t0 = time.perf_counter()
+        pose = slam.track_monocular(img, i / 30.0)
+        times.append(time.perf_counter() - t0)
+        tracked += pose is not None
+    med = float(np.median(times[5:]))  # skip compile warmup frames
+    return (f"median {med*1e3:.1f} ms/frame ({1.0/med:.1f} fps), "
+            f"tracked {tracked}/{n_frames}, "
+            f"keyframes {slam.map.n_keyframes}")
 
 
 if __name__ == "__main__":

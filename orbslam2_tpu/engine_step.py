@@ -1,22 +1,36 @@
-"""The fused per-frame tracking device program.
+"""The fused per-frame tracking device programs.
 
-This is the engine's "forward step": one jit-compiled program that takes an
-image plus the projected local-map slice and produces the optimized camera
-pose — extraction (pyramid FAST + BRIEF), projection-guided Hamming
-matching, and the 4x10 LM pose optimization fused into a single dispatch.
-Used by __graft_entry__.entry() as the compile-check target and by bench.py.
+Two entry points:
+
+- `tracking_step`: the minimal "forward step" (extract -> project+match ->
+  pose LM) used by __graft_entry__.entry() as the compile-check target and
+  by bench.py.
+
+- `track_frame_full`: the PRODUCTION per-frame program — the reference's
+  entire steady-state Track() hot path (src/Tracking.cpp:320-628 OK branch)
+  as ONE device dispatch: extraction + undistortion + depth association,
+  motion-model search with the 2x widening retry, feature-metric LK
+  refinement, pose LM, frustum-gated local-map search, second refinement,
+  second pose LM. The host reads back one batched set of outputs per frame
+  (a single round-trip on remote-attached TPU runtimes) and keeps only the
+  bookkeeping: keyframe decisions, map updates, state transitions.
 """
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from .config import OrbParams
+from .frontend import matcher as FM
+from .geometry import camera as cam_mod
 from .ops import features as F
 from .ops import matching as M
 from .ops import pose_opt as PO
+from .ops import refine as RF
+from .ops import stereo as ST
 
 
 @functools.partial(
@@ -56,3 +70,228 @@ def tracking_step(img, T_pred, pts_xyz, pt_desc, pt_octave, pt_valid,
         jnp.zeros((n_kp,), bool), info, matched & feats.valid,
         fx, fy, cx, cy, bf)
     return opt.T, opt.n_inliers, feats
+
+
+class TrackFrameOut(NamedTuple):
+    """Device-side result of track_frame_full, PACKED into few tensors.
+
+    On remote-attached runtimes every fetched array costs a full round trip
+    (~20 ms on the axon relay, measured), so the per-frame readback is
+    exactly four leaves: hdr + fmat + imat + desc (+ in_frustum); the
+    photometric windows (patch) are deferred and fetched only when a
+    fallback / keyframe creation needs them.
+
+    hdr  [32] f32: T1 (rows flattened, 12), T2 (12), n_cand, n_mm,
+                   n_inl1_map, n_inl2_map (counts are exact in f32), pad
+    fmat [N,11] f32: xy(2) xy_raw(2) xy0(2) ur ur0 depth angle response
+    imat [N,5] i32: octave, kp_mm_row, kp_src, refined, valid
+    desc [N,8] u32
+    in_frustum [P] bool
+    patch [N,15,15] u8 (deferred)
+    """
+
+    hdr: jnp.ndarray
+    fmat: jnp.ndarray
+    imat: jnp.ndarray
+    desc: jnp.ndarray
+    in_frustum: jnp.ndarray
+    patch: jnp.ndarray
+
+
+def _rgbd_depth(dm, xy_raw, und_x, cam, H: int, W: int):
+    """RGB-D depth association on device (Frame::ComputeStereoFromRGBD,
+    src/Frame.cpp:773-800, with the engine's bilinear + discontinuity
+    upgrades — see frontend/frame.py for the rationale)."""
+    x = jnp.clip(xy_raw[:, 0], 0, W - 1.001)
+    y = jnp.clip(xy_raw[:, 1], 0, H - 1.001)
+    x0 = x.astype(jnp.int32)
+    y0 = y.astype(jnp.int32)
+    fx_ = x - x0
+    fy_ = y - y0
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    flat = dm.ravel()
+
+    def at(yy, xx):
+        return jnp.take(flat, yy * W + xx)
+
+    c00, c01 = at(y0, x0), at(y0, x1)
+    c10, c11 = at(y1, x0), at(y1, x1)
+    d = ((c00 * (1 - fx_) + c01 * fx_) * (1 - fy_)
+         + (c10 * (1 - fx_) + c11 * fx_) * fy_)
+    xi = jnp.clip(jnp.round(x).astype(jnp.int32), 1, W - 2)
+    yi = jnp.clip(jnp.round(y).astype(jnp.int32), 1, H - 2)
+    neigh = jnp.stack([at(yi + dy, xi + dx)
+                       for dy in (-1, 0, 1) for dx in (-1, 0, 1)], -1)
+    flat_ok = (neigh.max(-1) - neigh.min(-1)) < 0.1 * jnp.maximum(d, 1e-6)
+    ok = (c00 > 0) & (c01 > 0) & (c10 > 0) & (c11 > 0) & (d > 0) & flat_ok
+    depth = jnp.where(ok, d, -1.0)
+    ur = jnp.where(ok, und_x - cam.bf / jnp.maximum(d, 1e-6), -1.0)
+    return depth, ur
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("params", "cam", "sensor", "close_th", "depth_factor",
+                     "log_scale"))
+def track_frame_full(img, aux, T_pred, T_last,
+                     last_pt, last_xy, last_desc, last_octave, last_patch,
+                     last_valid, last_depth, tmp_enable,
+                     m_xyz, m_desc, m_patch, m_normal, m_mind, m_maxd, m_valid,
+                     lp_ids, lp_mask, lp_radius_th, sf, sig2,
+                     params: OrbParams, cam, sensor: str,
+                     close_th: float, depth_factor: float, log_scale: float
+                     ) -> TrackFrameOut:
+    """One tracked frame, fused (see module docstring).
+
+    aux: depth map [H,W] (rgbd), right image [H,W] (stereo), or img (mono,
+    ignored). last_*: previous frame's per-feature arrays (device-chained).
+    m_*: the map-point device mirror (full point table; gathered by index).
+    lp_ids/lp_mask: the local-map slice (host-selected from covisibility).
+    tmp_enable: traced bool — include temporal VO candidates
+    (localization-only mode, Tracking::UpdateLastFrame).
+    """
+    H, W = cam.height, cam.width
+    N = last_pt.shape[0]
+
+    # ---- stage 1: extraction + undistortion + depth association ----
+    # images may arrive as uint8 (3.9x cheaper to ship over remote-attached
+    # runtimes); all compute is f32
+    img = img.astype(jnp.float32)
+    aux = aux.astype(jnp.float32)
+    last_patch = last_patch.astype(jnp.float32)
+    feats = F.extract_orb(img, params, H, W)
+    xy_und = cam_mod.undistort_pixels(cam, feats.xy)
+    if sensor == "rgbd":
+        depth, ur = _rgbd_depth(aux * depth_factor, feats.xy, xy_und[:, 0],
+                                cam, H, W)
+    elif sensor == "stereo":
+        feats_r = F.extract_orb(aux, params, H, W)
+        ur, depth = ST.stereo_match(
+            feats.xy, feats.octave, feats.desc, feats.valid,
+            feats_r.xy, feats_r.octave, feats_r.desc, feats_r.valid,
+            sf, cam.bf, cam.fx)
+    else:
+        depth = jnp.full((feats.xy.shape[0],), -1.0)
+        ur = jnp.full((feats.xy.shape[0],), -1.0)
+    ur0 = ur
+
+    # ---- stage 2: motion-model candidates (rows = last-frame slots) ----
+    ptc = jnp.clip(last_pt, 0)
+    bound_last = (last_pt >= 0) & m_valid[ptc]
+    # temporal VO candidates: unmatched close-depth last-frame features
+    # backprojected with the last pose (Tracking::UpdateLastFrame,
+    # src/Tracking.cpp:1065-1160; localization-only gate as upstream)
+    tmp_sel = (tmp_enable & ~bound_last & last_valid & (last_depth > 0)
+               & (last_depth < 2.0 * close_th))
+    Rl, tl = T_last[:, :3], T_last[:, 3]
+    Xc = cam_mod.backproject(cam, last_xy, last_depth)
+    Xw = (Xc - tl[None]) @ Rl  # Rwc = Rl^T; Xw = Rl^T (Xc - tl)
+    mm_xyz = jnp.where(bound_last[:, None], m_xyz[ptc], Xw)
+    mm_desc = jnp.where(bound_last[:, None], m_desc[ptc], last_desc)
+    mm_tpl = jnp.where(bound_last[:, None, None],
+                       m_patch[ptc].astype(jnp.float32),
+                       RF.template_of(last_patch))
+    mm_ok = bound_last | tmp_sel
+    n_cand = jnp.sum(mm_ok)
+
+    th = 7.0 if sensor != "mono" else 15.0
+    res_mm, n_mm = FM.motion_model_core(
+        T_pred, mm_xyz, mm_ok, mm_desc, last_octave,
+        xy_und, feats.octave, feats.desc, feats.valid, sf,
+        cam.fx, cam.fy, cam.cx, cam.cy, th)
+
+    # keypoint-side binding: kp -> last-frame slot
+    tgt = jnp.where(res_mm.idx >= 0, res_mm.idx, N)
+    kp_mm = jnp.full((N,), -1, jnp.int32).at[tgt].set(
+        jnp.arange(N), mode="drop")
+    bound0 = kp_mm >= 0
+
+    # ---- stage 3: feature-metric refinement of MM matches ----
+    tpl_kp = mm_tpl[jnp.clip(kp_mm, 0)]
+    delta, okr = RF.refine_offsets(feats.patch, tpl_kp, bound0 & feats.valid)
+    sf_kp = sf[jnp.clip(feats.octave, 0, sf.shape[0] - 1)]
+    shift = delta * (sf_kp * okr)[:, None]
+    xy_raw1 = feats.xy + shift
+    xy1 = jnp.where(okr[:, None], cam_mod.undistort_pixels(cam, xy_raw1),
+                    xy_und)
+    ur = jnp.where(okr & (ur >= 0), ur + shift[:, 0], ur)
+    refined0 = okr
+
+    # ---- stage 4: pose optimization 1 ----
+    info = 1.0 / sig2[jnp.clip(feats.octave, 0, sig2.shape[0] - 1)]
+    obs1 = jnp.concatenate([xy1, ur[:, None]], -1)
+    valid1 = bound0 & feats.valid
+    opt1 = PO.pose_optimize(
+        T_pred, mm_xyz[jnp.clip(kp_mm, 0)], obs1, valid1 & (ur >= 0), info,
+        valid1, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf)
+    inl1 = opt1.inliers
+    kp_is_map = bound0 & bound_last[jnp.clip(kp_mm, 0)]
+    n_inl1_map = jnp.sum(inl1 & kp_is_map)
+    kp_mm = jnp.where(valid1 & ~inl1, -1, kp_mm)  # prune outlier bindings
+    bound1 = kp_mm >= 0
+
+    # ---- stage 5: local-map candidates + already-bound mask ----
+    lpc = jnp.clip(lp_ids, 0)
+    lp_ok = lp_mask & m_valid[lpc]
+    # a local point is "already matched" if a surviving MM binding carries it
+    surv_pt = jnp.where(bound1 & bound_last[jnp.clip(kp_mm, 0)],
+                        last_pt[jnp.clip(kp_mm, 0)], -1)  # [N] pt id or -1
+    already = jnp.any((surv_pt[None, :] == lp_ids[:, None])
+                      & (surv_pt[None, :] >= 0), axis=1)
+
+    res_lp, in_frustum = FM.local_points_core(
+        opt1.T, m_xyz[lpc], lp_ok, m_desc[lpc], m_normal[lpc],
+        m_mind[lpc], m_maxd[lpc], already,
+        xy1, feats.octave, feats.desc, feats.valid & ~bound1, sf,
+        cam.fx, cam.fy, cam.cx, cam.cy, W, H,
+        params.n_levels, log_scale, lp_radius_th)
+    P = lp_ids.shape[0]
+    tgt2 = jnp.where(res_lp.idx >= 0, res_lp.idx, N)
+    kp_lp = jnp.full((N,), -1, jnp.int32).at[tgt2].set(
+        jnp.arange(P), mode="drop")
+    kp_lp = jnp.where(bound1, -1, kp_lp)  # MM bindings win
+    bound_lp = kp_lp >= 0
+
+    # ---- stage 6: refinement of the new local-map matches ----
+    tpl2 = m_patch[lpc][jnp.clip(kp_lp, 0)].astype(jnp.float32)
+    delta2, ok2 = RF.refine_offsets(feats.patch, tpl2,
+                                    bound_lp & ~refined0 & feats.valid)
+    shift2 = delta2 * (sf_kp * ok2)[:, None]
+    xy_raw2 = xy_raw1 + shift2
+    xy2 = jnp.where(ok2[:, None], cam_mod.undistort_pixels(cam, xy_raw2), xy1)
+    ur = jnp.where(ok2 & (ur >= 0), ur + shift2[:, 0], ur)
+    refined = refined0 | ok2
+
+    # ---- stage 7: pose optimization 2 over the union of bindings ----
+    pts2 = jnp.where(bound1[:, None], mm_xyz[jnp.clip(kp_mm, 0)],
+                     m_xyz[lpc][jnp.clip(kp_lp, 0)])
+    valid2 = (bound1 | bound_lp) & feats.valid
+    obs2 = jnp.concatenate([xy2, ur[:, None]], -1)
+    opt2 = PO.pose_optimize(
+        opt1.T, pts2, obs2, valid2 & (ur >= 0), info, valid2,
+        cam.fx, cam.fy, cam.cx, cam.cy, cam.bf)
+    inl2 = opt2.inliers
+    kp_map2 = (bound1 & bound_last[jnp.clip(kp_mm, 0)]) | bound_lp
+    n_inl2_map = jnp.sum(inl2 & kp_map2)
+    # final bindings post-prune
+    kp_src = jnp.where(bound1, kp_mm, jnp.where(bound_lp, N + kp_lp, -1))
+    kp_src = jnp.where(valid2 & ~inl2, -1, kp_src)
+
+    hdr = jnp.concatenate([
+        opt1.T.ravel(), opt2.T.ravel(),
+        jnp.stack([n_cand, n_mm, n_inl1_map, n_inl2_map]).astype(jnp.float32),
+        jnp.zeros(4, jnp.float32)])
+    fmat = jnp.concatenate([
+        xy2, xy_raw2, xy_und,
+        ur[:, None], ur0[:, None], depth[:, None],
+        feats.angle[:, None], feats.response[:, None]], axis=1)
+    imat = jnp.stack([
+        feats.octave, kp_mm, kp_src,
+        refined.astype(jnp.int32), feats.valid.astype(jnp.int32)], axis=1)
+    return TrackFrameOut(
+        hdr=hdr, fmat=fmat, imat=imat, desc=feats.desc,
+        in_frustum=in_frustum,
+        # u8: matches the map's own window storage (MapState.kf_patch) and
+        # is 4x cheaper to fetch; the host materializes it lazily
+        patch=jnp.clip(jnp.round(feats.patch), 0, 255).astype(jnp.uint8))

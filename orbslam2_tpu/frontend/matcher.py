@@ -26,15 +26,54 @@ from ..ops import matching as M
 BIG = M.BIG
 
 
+def motion_model_core(T, pts_xyz, pt_valid, pt_desc, pt_last_octave,
+                      kp_xy, kp_octave, kp_desc, kp_valid, scale_factors,
+                      fx, fy, cx, cy, radius_th):
+    """Traced core of the motion-model search: project last frame's points
+    with the predicted pose and match around the projections (radius
+    th * scale(last octave), level window — src/ORBmatcher.cpp:1627-1634).
+
+    Computes the Hamming matrix ONCE and evaluates both the base radius and
+    the 2x widened retry (src/Tracking.cpp:1192-1196), selecting the widened
+    result when the base search finds < 20 matches — the fused-frame
+    equivalent of the reference's sequential retry."""
+    R, t = T[:, :3], T[:, 3]
+    pc = pts_xyz @ R.T + t
+    z = pc[:, 2]
+    ok = pt_valid & (z > 0.1)
+    uv = jnp.stack([fx * pc[:, 0] / jnp.maximum(z, 1e-6) + cx,
+                    fy * pc[:, 1] / jnp.maximum(z, 1e-6) + cy], -1)
+    sf = jnp.asarray(scale_factors)
+    r_base = sf[jnp.clip(pt_last_octave, 0, sf.shape[0] - 1)] * radius_th
+    duv_x = jnp.abs(uv[:, 0:1] - kp_xy[None, :, 0])
+    duv_y = jnp.abs(uv[:, 1:2] - kp_xy[None, :, 1])
+    lv_ok = (kp_octave[None, :] >= pt_last_octave[:, None] - 1) & (
+        kp_octave[None, :] <= pt_last_octave[:, None] + 1)
+    base = lv_ok & ok[:, None] & kp_valid[None, :]
+    dist = M.hamming_matrix(pt_desc, kp_desc)
+
+    def at_radius(r):
+        cand = base & (duv_x <= r[:, None]) & (duv_y <= r[:, None])
+        res = M.masked_best_match(dist, cand, M.TH_HIGH, 0.9)
+        res = M.resolve_duplicate_targets(res, kp_xy.shape[0])
+        return res, jnp.sum(res.idx >= 0)
+
+    res_n, n_n = at_radius(r_base)
+    res_w, n_w = at_radius(2.0 * r_base)
+    wide = n_n < 20
+    res = M.MatchResult(jnp.where(wide, res_w.idx, res_n.idx),
+                        jnp.where(wide, res_w.dist, res_n.dist))
+    return res, jnp.where(wide, n_w, n_n)
+
+
 @functools.partial(jax.jit, static_argnames=("fx", "fy", "cx", "cy", "radius_th",
                                              "n_levels", "log_scale"))
 def match_motion_model(T, pts_xyz, pt_valid, pt_desc, pt_last_octave,
                        kp_xy, kp_octave, kp_desc, kp_valid, scale_factors,
                        fx: float, fy: float, cx: float, cy: float,
                        radius_th: float, n_levels: int, log_scale: float):
-    """Project last frame's points with the predicted pose and match around
-    the projections (radius th * scale(last octave), level window [0, +1]
-    forward — src/ORBmatcher.cpp:1627-1634)."""
+    """Single-radius motion-model search (the standalone per-stage dispatch;
+    the fused frame program uses motion_model_core's dual-radius form)."""
     R, t = T[:, :3], T[:, 3]
     pc = pts_xyz @ R.T + t
     z = pc[:, 2]
@@ -48,19 +87,14 @@ def match_motion_model(T, pts_xyz, pt_valid, pt_desc, pt_last_octave,
     return M.resolve_duplicate_targets(res, kp_xy.shape[0])
 
 
-@functools.partial(jax.jit, static_argnames=("fx", "fy", "cx", "cy", "width",
-                                             "height", "n_levels", "log_scale",
-                                             "radius_th"))
-def match_local_points(T, pts_xyz, pt_valid, pt_desc, pt_normal,
-                       pt_min_dist, pt_max_dist, already_matched,
-                       kp_xy, kp_octave, kp_desc, kp_valid, scale_factors,
-                       fx: float, fy: float, cx: float, cy: float,
-                       width: int, height: int, n_levels: int,
-                       log_scale: float, radius_th: float = 1.0):
-    """Frustum-filter local map points and match them into the frame.
-
-    Returns (MatchResult pt->kp, in_frustum mask) — the in_frustum mask
-    drives IncreaseVisible (src/Tracking.cpp:1592-1616)."""
+def local_points_core(T, pts_xyz, pt_valid, pt_desc, pt_normal,
+                      pt_min_dist, pt_max_dist, already_matched,
+                      kp_xy, kp_octave, kp_desc, kp_valid, scale_factors,
+                      fx, fy, cx, cy, width, height, n_levels,
+                      log_scale, radius_th):
+    """Traced core of the local-map search (radius_th may be a traced
+    scalar — the fused frame program passes the lost-state widening as
+    data, not as a recompile)."""
     R, t = T[:, :3], T[:, 3]
     pc = pts_xyz @ R.T + t
     z = pc[:, 2]
@@ -89,6 +123,25 @@ def match_local_points(T, pts_xyz, pt_valid, pt_desc, pt_normal,
         kp_xy, kp_octave, kp_desc, kp_valid, scale_factors,
         max_dist=M.TH_HIGH, ratio=0.8, level_window=(-1, 0))
     return M.resolve_duplicate_targets(res, kp_xy.shape[0]), in_frustum
+
+
+@functools.partial(jax.jit, static_argnames=("fx", "fy", "cx", "cy", "width",
+                                             "height", "n_levels", "log_scale",
+                                             "radius_th"))
+def match_local_points(T, pts_xyz, pt_valid, pt_desc, pt_normal,
+                       pt_min_dist, pt_max_dist, already_matched,
+                       kp_xy, kp_octave, kp_desc, kp_valid, scale_factors,
+                       fx: float, fy: float, cx: float, cy: float,
+                       width: int, height: int, n_levels: int,
+                       log_scale: float, radius_th: float = 1.0):
+    """Frustum-filter local map points and match them into the frame.
+
+    Returns (MatchResult pt->kp, in_frustum mask) — the in_frustum mask
+    drives IncreaseVisible (src/Tracking.cpp:1592-1616)."""
+    return local_points_core(
+        T, pts_xyz, pt_valid, pt_desc, pt_normal, pt_min_dist, pt_max_dist,
+        already_matched, kp_xy, kp_octave, kp_desc, kp_valid, scale_factors,
+        fx, fy, cx, cy, width, height, n_levels, log_scale, radius_th)
 
 
 @jax.jit

@@ -447,6 +447,7 @@ class LocalMapper:
             if c not in fixed_set:
                 mp.kf_pose[c] = new_T[i]
         mp.pt_xyz[points] = np.asarray(res.pts)[:len(points)]
+        mp.mark_points_dirty(points)  # direct geometry write (mirror sync)
         # prune outlier observations (src/Optimizer.cpp:845-941)
         inl = np.asarray(res.e_inlier)[:E_need]
         bad = ~inl

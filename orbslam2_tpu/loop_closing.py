@@ -250,6 +250,7 @@ class LoopCloser:
             # inverse of corrected Sim3: x_w = (1/s) R^T (x_c - t)
             Xw = ((Xc - t_c) @ R_c) / s_c
             mp.pt_xyz[pts] = Xw.astype(np.float32)
+            mp.mark_points_dirty(pts)  # direct geometry write
             moved.update(int(p) for p in pts)
 
         # write corrected SE3 poses (t / s demotion, :634-645)

@@ -84,6 +84,36 @@ class MapState:
         self._pt_free: list[int] = []
         self._pt_pending: list[int] = []
         self.pt_redirect = np.full(self.pt_xyz.shape[0], -1, np.int32)
+        # point-geometry generation counter: bumped whenever pt_xyz/pt_desc/
+        # pt_normal/pt_patch/dist bands/pt_valid change, so the tracker's
+        # device mirror (tracking.Tracker._refresh_mirror) knows when to
+        # re-upload. Code that writes those arrays DIRECTLY (BA writeback,
+        # loop correction) must bump it too (mark_points_dirty).
+        self.generation: int = 0
+        # rows changed since the mirror last synced; None = everything
+        # (the mirror falls back to a full upload)
+        self._dirty_pts: list | None = []
+
+    def mark_points_dirty(self, ids):
+        """Record changed point rows for incremental mirror sync and bump
+        the generation counter."""
+        self.generation += 1
+        if self._dirty_pts is None:
+            return
+        self._dirty_pts.append(np.asarray(ids, np.int64).ravel())
+        if sum(len(a) for a in self._dirty_pts) > 8192:
+            self._dirty_pts = None  # too much churn: full refresh
+
+    def drain_dirty_points(self):
+        """Return (and clear) the changed-row set: an int64 array, or None
+        meaning 'unknown / everything'."""
+        d = self._dirty_pts
+        self._dirty_pts = []
+        if d is None:
+            return None
+        if not d:
+            return np.zeros(0, np.int64)
+        return np.unique(np.concatenate(d))
 
     def __post_init__(self):
         K, P, N = self.cfg.max_keyframes, self.cfg.max_points, self.n_feat
@@ -298,6 +328,7 @@ class MapState:
             self.pt_patch[ids] = patch
         else:
             self.pt_patch[ids] = 0.0  # no template: refinement is a no-op
+        self.mark_points_dirty(ids)
         return ids
 
     def remove_points(self, ids: np.ndarray):
@@ -310,6 +341,7 @@ class MapState:
         mask = np.isin(self.kf_pt, ids)
         self.kf_pt[mask] = -1
         self._pt_pending.extend(int(i) for i in ids)
+        self.mark_points_dirty(ids)
 
     def replace_point(self, old: int, new: int):
         """MapPoint::Replace (src/MapPoint.cpp:212): redirect observations of
@@ -324,6 +356,7 @@ class MapState:
         self.pt_valid[old] = False
         self.pt_redirect[old] = new
         self._pt_pending.append(int(old))
+        self.mark_points_dirty([old, new])
 
     # ------------------------------------------------------------ observations
     def observations_of(self, pt_ids: np.ndarray):
@@ -482,3 +515,4 @@ class MapState:
             level = int(self.kf_octave[kfs[j], feats[j]])
             self.pt_max_dist[p] = dist_ref * (sf ** level)
             self.pt_min_dist[p] = self.pt_max_dist[p] / (sf ** (n_levels - 1))
+        self.mark_points_dirty(pt_ids)

@@ -100,36 +100,48 @@ def refine_offsets(patches: jnp.ndarray, templates: jnp.ndarray,
     inv_det = 1.0 / jnp.where(conditioned, det, 1.0)
 
     # sample grid: template pixel (i, j) maps to window coords
-    # (c + dy + i, c + dx + j), c = 2
+    # (c + dy + i, c + dx + j), c = 2.
+    #
+    # GATHER-FREE sampling: because the shift (dx, dy) is a single scalar
+    # per feature, the cubic interpolation is a per-feature blend of 8
+    # STATICALLY-shifted copies of the window along each axis (the 4
+    # Catmull-Rom taps live at floor-offset s-1..s+2 with s = floor(c+d) in
+    # {0..4}); tap selection becomes a one-hot weight vector. This replaces
+    # the earlier [M,11,11] dynamic gathers, which — being carry-dependent
+    # gathers inside lax.scan — executed with a host round trip per LK
+    # iteration on remote-attached TPU runtimes (~26 ms/iter, measured).
     c = float(_R_WIN - _R_TPL)
-    ii = jnp.arange(TEMPLATE_WIN, dtype=jnp.float32)
+    N_SHIFT = 8  # taps at j + t for t in -1..6
+
+    def shift_weights(d):
+        """[M] scalar shift in [-c, c] -> [M, 8] blend weights over the
+        t = -1..6 statically-shifted copies."""
+        q = c + d                                    # in [0, 2c]
+        s = jnp.clip(jnp.floor(q).astype(jnp.int32), 0, int(2 * c))
+        f = jnp.clip(q - s, 0.0, 1.0)
+        w0, w1, w2, w3 = _cubic_weights(f)           # each [M]
+        taps = jnp.stack([w0, w1, w2, w3], -1)       # [M, 4]
+        t_idx = jnp.arange(N_SHIFT)  # shifted copy t_idx samples col j+t_idx-1
+        # tap q sits at col j + s - 1 + q  ->  copy index t_idx = s + q
+        sel = (t_idx[None, :, None] == (s[:, None, None]
+                                        + jnp.arange(4)[None, None, :]))
+        return jnp.sum(jnp.where(sel, taps[:, None, :], 0.0), -1)  # [M, 8]
+
+    padx = jnp.pad(patches, ((0, 0), (0, 0), (1, 2)), mode="edge")
+    pady_base = None  # y-pass pads the x-pass output
 
     def sample(dx, dy):
-        """Catmull-Rom sample of each window at the shifted template grid.
-        dx, dy: [M]."""
-        xq = c + dx[:, None] + ii[None, :]          # [M, 11]
-        yq = c + dy[:, None] + ii[None, :]
-        # cubic needs taps at [-1..2]: clamp the base so all taps stay inside
-        # (distorts only the outermost rim at |d|>1, which the Gaussian
-        # window downweights)
-        x0 = jnp.clip(jnp.floor(xq).astype(jnp.int32), 1, PATCH_WIN - 3)
-        y0 = jnp.clip(jnp.floor(yq).astype(jnp.int32), 1, PATCH_WIN - 3)
-        fx = jnp.clip(xq - x0, 0.0, 1.0)            # [M, 11]
-        fy = jnp.clip(yq - y0, 0.0, 1.0)
-        wx = _cubic_weights(fx)
-        wy = _cubic_weights(fy)
-        flat = patches.reshape(M, -1)
-        rows = jnp.arange(M)[:, None, None]
-
-        def take(yy, xx):
-            return flat[rows, yy[:, :, None] * PATCH_WIN + xx[:, None, :]]
-
+        """Catmull-Rom sample of each window at the shifted template grid,
+        as two separable shift-blend passes. dx, dy: [M]."""
+        wx = shift_weights(dx)                       # [M, 8]
+        wy = shift_weights(dy)
+        xout = 0.0
+        for t in range(N_SHIFT):
+            xout = xout + wx[:, t, None, None] * padx[:, :, t:t + TEMPLATE_WIN]
+        pady = jnp.pad(xout, ((0, 0), (1, 2), (0, 0)), mode="edge")
         out = 0.0
-        for a in range(4):
-            row = 0.0
-            for b in range(4):
-                row = row + wx[b][:, None, :] * take(y0 + (a - 1), x0 + (b - 1))
-            out = out + wy[a][:, :, None] * row
+        for t in range(N_SHIFT):
+            out = out + wy[:, t, None, None] * pady[:, t:t + TEMPLATE_WIN, :]
         return out  # [M, 11, 11]
 
     def step(carry, _):

@@ -133,62 +133,35 @@ class System:
         return pose
 
     def run_sequence(self, frames, progress_every: int = 0):
-        """Pipelined sequence runner: the next frame's device extraction is
-        dispatched before the current frame's host-side tracking work, so
-        extraction overlaps tracking (the production driving mode; the
-        reference achieves overlap with its thread triad).
+        """Sequence runner. Steady-state frames go through the fused
+        single-dispatch tracking program (tracking.Tracker._track_fused) —
+        one device program + one batched readback per frame, so there is
+        nothing left to pipeline at the driver level.
 
         frames: iterable of (timestamp, dict) with keys image [+depth|right].
         Returns the number of tracked frames.
         """
-        from .tracking import TrackState
-        it = iter(frames)
         tracked = 0
-        pending = None  # (handle, builder_state_flag, ts)
-
-        def dispatch(ts, data):
-            builder = (self.tracker.init_builder
-                       if self.tracker.state == TrackState.NOT_INITIALIZED
-                       else self.tracker.builder)
-            h = builder.dispatch(self._gray(data["image"]),
-                                 depth_map=data.get("depth"),
-                                 right_img=(self._gray(data["right"])
-                                            if "right" in data else None))
-            return (h, builder, self.tracker.state, ts, data)
-
         n = 0
-        for ts, data in it:
-            new_pending = dispatch(ts, data)
-            if pending is not None:
-                tracked += self._consume(pending)
-                n += 1
-                if progress_every and n % progress_every == 0:
-                    print(f"frame {n}: {self.map_stats()}", flush=True)
-            pending = new_pending
-        if pending is not None:
-            tracked += self._consume(pending)
-        return tracked
-
-    def _consume(self, pending) -> int:
-        from .tracking import TrackState
-        h, builder, state_at_dispatch, ts, data = pending
-        if state_at_dispatch != self.tracker.state and \
-                TrackState.NOT_INITIALIZED in (state_at_dispatch, self.tracker.state):
-            # state flipped between dispatch and consume (init transition):
-            # re-extract with the right feature budget
+        for ts, data in frames:
             pose = self._tracked(ts, lambda: self.tracker.process_image(
                 self._gray(data["image"]), ts,
                 depth_map=data.get("depth"),
                 right_img=(self._gray(data["right"]) if "right" in data else None)))
-        else:
-            frame = builder.finalize(h, ts)
-            pose = self._tracked(ts, lambda: self.tracker.track(frame))
-        return int(pose is not None)
+            tracked += int(pose is not None)
+            n += 1
+            if progress_every and n % progress_every == 0:
+                print(f"frame {n}: {self.map_stats()}", flush=True)
+        return tracked
 
     @staticmethod
     def _gray(img: np.ndarray) -> np.ndarray:
         if img.ndim == 3:
             img = img @ np.array([0.299, 0.587, 0.114], np.float32)
+        if img.dtype == np.uint8:
+            # keep u8: the device programs cast after upload, and shipping
+            # u8 is 4x cheaper on remote-attached TPU runtimes
+            return img
         return img.astype(np.float32)
 
     # ------------------------------------------------------------------ state

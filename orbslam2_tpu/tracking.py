@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import engine_step as ES
 from .config import SlamConfig, Sensor
 from .frontend.frame import Frame, FrameBuilder
 from .frontend import matcher as FM
@@ -47,6 +48,15 @@ class TrackState(IntEnum):
 
 def _np(x):
     return np.asarray(x)
+
+
+def _ensure_patch(frame: Frame):
+    """Materialize a fused frame's photometric windows from the device
+    (deferred: they are ~1 MB/frame and only needed for fallback matching,
+    keyframe creation, or re-upload after a broken device chain)."""
+    if frame.patch is None and getattr(frame, "_patch_dev", None) is not None:
+        frame.patch = np.asarray(frame._patch_dev).astype(np.float32)
+        frame._patch_dev = None
 
 
 class Tracker:
@@ -80,6 +90,15 @@ class Tracker:
         # (mlRelativeFramePoses etc., include/Tracking.h:109-112)
         self.frame_log: list[tuple[float, int, np.ndarray, bool]] = []
         self.n_lost_frames = 0
+        # fused-path state: device mirror of the map point table (re-uploaded
+        # when map.generation changes) and the last frame's device-side
+        # feature arrays (chained between fused frames to avoid re-upload)
+        self._mirror = None
+        self._mirror_gen = -1
+        self._last_dev = None
+        self._last_dev_frame_id = -1
+        self._sf_dev = jnp.asarray(self.sf)
+        self._sig2_dev = jnp.asarray(self.sigma2)
 
     # ------------------------------------------------------------------ utils
     def _next_key(self):
@@ -94,6 +113,7 @@ class Tracker:
         subpixel offset. Skips features already refined this frame (windows
         are centered on the ORIGINAL detection, so a second application
         would double-count the shift)."""
+        _ensure_patch(frame)
         if frame.patch is None:
             return
         if not hasattr(frame, "_refined"):
@@ -160,6 +180,12 @@ class Tracker:
     def process_image(self, img: np.ndarray, timestamp: float,
                       depth_map: np.ndarray | None = None,
                       right_img: np.ndarray | None = None) -> np.ndarray | None:
+        if (self.state == TrackState.OK and self.velocity is not None
+                and self.last_frame is not None
+                and self.last_frame.pose is not None):
+            # steady state: the whole per-frame hot path is ONE device
+            # dispatch + one batched readback (engine_step.track_frame_full)
+            return self._track_fused(img, timestamp, depth_map, right_img)
         builder = (self.init_builder
                    if self.state == TrackState.NOT_INITIALIZED else self.builder)
         frame = builder.build(img, timestamp, depth_map=depth_map,
@@ -198,6 +224,12 @@ class Tracker:
         if ok:
             ok = self._track_local_map(frame)
 
+        return self._finish_frame(frame, ok)
+
+    def _finish_frame(self, frame: Frame, ok: bool) -> np.ndarray | None:
+        """Shared per-frame tail: state transition, velocity update, keyframe
+        decision, trajectory log (the end of Tracking::Track,
+        src/Tracking.cpp:526-626)."""
         if ok:
             self.state = TrackState.OK
             if self.last_frame is not None and self.last_frame.pose is not None:
@@ -444,6 +476,8 @@ class Tracker:
         # frame's window (frame-to-frame consistency)
         templates = self.map.pt_patch[np.clip(frame.pt_idx, 0, None)].copy()
         mask = frame.pt_idx >= 0
+        if len(tmp_src):
+            _ensure_patch(last)
         if len(tmp_src) and last.patch is not None:
             cur = midx[tmp_src]
             templates[cur] = _np(RF.template_of(last.patch[tmp_src]))
@@ -480,6 +514,217 @@ class Tracker:
         self.matches_inliers = n_inl
         return n_inl >= 10
 
+    # ----------------------------------------------------------- fused frame
+    def _refresh_mirror(self):
+        """Sync the device mirror of the map point table. Incremental: only
+        rows dirtied since the last sync are re-uploaded (a device scatter);
+        unbounded churn (loop corrections) falls back to a full upload.
+        Patches ship as u8 (matching MapState.kf_patch storage) — the full
+        table is ~8 MB instead of ~32 MB."""
+        mp = self.map
+        if self._mirror is not None and self._mirror_gen == mp.generation:
+            return
+
+        def host_rows(ids=None):
+            sl = slice(None) if ids is None else ids
+            return (mp.pt_xyz[sl], mp.pt_desc[sl],
+                    np.clip(np.round(mp.pt_patch[sl]), 0, 255).astype(np.uint8),
+                    mp.pt_normal[sl], mp.pt_min_dist[sl], mp.pt_max_dist[sl],
+                    mp.pt_valid[sl])
+
+        dirty = mp.drain_dirty_points()
+        if self._mirror is None or dirty is None:
+            self._mirror = tuple(jnp.asarray(a) for a in host_rows())
+        elif len(dirty):
+            # pad the id set to a power-of-two bucket so the scatter program
+            # compiles once per bucket size, not once per unique count
+            # (duplicated leading id: scatter-set with equal rows is benign)
+            n = len(dirty)
+            bucket = 1 << max(8, (n - 1).bit_length())
+            dirty = np.concatenate(
+                [dirty, np.full(bucket - n, dirty[0], dirty.dtype)])
+            ids = jnp.asarray(dirty)
+            self._mirror = tuple(
+                m.at[ids].set(jnp.asarray(rows))
+                for m, rows in zip(self._mirror, host_rows(dirty)))
+        self._mirror_gen = mp.generation
+
+    def _last_dev_arrays(self, last: Frame):
+        """Device handles of the last frame's per-feature arrays — chained
+        from the previous fused output when possible, uploaded otherwise."""
+        if self._last_dev_frame_id != last.frame_id or self._last_dev is None:
+            _ensure_patch(last)
+            patch = last.patch if last.patch is not None else np.zeros(
+                (last.capacity, F.PATCH_WIN, F.PATCH_WIN), np.float32)
+            self._last_dev = dict(
+                xy=jnp.asarray(last.xy), desc=jnp.asarray(last.desc),
+                octave=jnp.asarray(last.octave),
+                # u8 on the wire (the program casts; matches map storage)
+                patch=jnp.asarray(
+                    np.clip(np.round(patch), 0, 255).astype(np.uint8)),
+                valid=jnp.asarray(last.valid), depth=jnp.asarray(last.depth))
+            self._last_dev_frame_id = last.frame_id
+        return self._last_dev
+
+    def _track_fused(self, img, timestamp, depth_map=None, right_img=None):
+        """Steady-state frame: one fused device dispatch
+        (engine_step.track_frame_full) + one batched readback, then host
+        bookkeeping only. Falls back to the staged path when the motion
+        model fails (rare) — the staged matchers/optimizers are the same
+        kernels, so behavior is identical to the reference's
+        TrackWithMotionModel -> TrackReferenceKeyFrame cascade."""
+        import os
+        import time as _time
+        timing = os.environ.get("ORBSLAM2_TPU_TIMING") == "1"
+        _t = _time.perf_counter if timing else (lambda: 0.0)
+        t0 = _t()
+        mp = self.map
+        cfg = self.cfg
+        cam = cfg.camera
+        last = self.last_frame
+        # CheckReplacedInLastFrame + quarantine release (src/Tracking.cpp:372)
+        last.pt_idx = mp.resolve_point_ids(last.pt_idx)
+        mp.release_retired_points()
+        self._refresh_mirror()
+        t1 = _t()
+
+        lp_pad, pvalid, best_kf = self._select_local_points(last.pt_idx)
+        if lp_pad is None:
+            frame = self.builder.build(img, timestamp, depth_map=depth_map,
+                                       right_img=right_img)
+            return self.track(frame)
+
+        T_pred = se3_np.orthonormalize(se3_np.compose(self.velocity, last.pose))
+        tmp_enable = bool(cfg.sensor != Sensor.MONOCULAR
+                          and self.localization_only
+                          and last.frame_id != self.last_kf_frame_id)
+        sensor = {Sensor.MONOCULAR: "mono", Sensor.RGBD: "rgbd",
+                  Sensor.STEREO: "stereo"}[cfg.sensor]
+        img_dev = jnp.asarray(img, jnp.float32)
+        if sensor == "rgbd":
+            aux = jnp.asarray(depth_map, jnp.float32)
+        elif sensor == "stereo":
+            aux = jnp.asarray(right_img, jnp.float32)
+        else:
+            aux = img_dev
+        ld = self._last_dev_arrays(last)
+        if timing:
+            jax.block_until_ready(list(ld.values()))
+            jax.block_until_ready(list(self._mirror))
+            jax.block_until_ready(img_dev)
+            t1b = _t()
+            print(f"  [fused-inputs ready: +{1e3*(t1b-t1):.1f} ms]", flush=True)
+        out = ES.track_frame_full(
+            img_dev, aux, jnp.asarray(T_pred), jnp.asarray(last.pose),
+            jnp.asarray(last.pt_idx), ld["xy"], ld["desc"], ld["octave"],
+            ld["patch"], ld["valid"], ld["depth"], jnp.asarray(tmp_enable),
+            *self._mirror, jnp.asarray(lp_pad), jnp.asarray(pvalid),
+            jnp.float32(3.0 if self.n_lost_frames > 0 else 1.0),
+            self._sf_dev, self._sig2_dev,
+            params=self.builder.orb, cam=cam, sensor=sensor,
+            close_th=float(cfg.close_depth_threshold),
+            depth_factor=float(cfg.depth_map_factor),
+            log_scale=float(np.log(cfg.orb.scale_factor)))
+        t2 = _t()
+
+        # one batched readback of everything EXCEPT the photometric windows
+        # (~1 MB; fetched lazily by _ensure_patch only when a fallback,
+        # keyframe creation, or re-upload actually needs them).
+        # ORDER MATTERS on remote-attached runtimes: wait for the compute
+        # first (block on the tiny header), THEN start the async copies —
+        # copy_to_host_async on a not-yet-computed array degrades to one
+        # synchronous round trip per leaf (~80 ms each, measured).
+        jax.block_until_ready(out.hdr)
+        host_fields = out._replace(patch=None)
+        for leaf in jax.tree_util.tree_leaves(host_fields):
+            leaf.copy_to_host_async()
+        hdr, fmat, imat, desc, in_frustum = (
+            np.asarray(out.hdr), np.asarray(out.fmat), np.asarray(out.imat),
+            np.asarray(out.desc), np.asarray(out.in_frustum))
+        if timing:
+            print(f"  [fused: prep {1e3*(t1-t0):.1f} lp+dispatch "
+                  f"{1e3*(t2-t1):.1f} readback {1e3*(_t()-t2):.1f} ms]",
+                  flush=True)
+        T1 = hdr[:12].reshape(3, 4)
+        T2 = hdr[12:24].reshape(3, 4)
+        n_cand, n_mm, n_inl1_map, n_inl2_map = (int(v) for v in hdr[24:28])
+        kp_mm_row = imat[:, 1]
+        kp_src_arr = imat[:, 2]
+
+        frame = Frame(
+            frame_id=self.builder._next_id, timestamp=timestamp,
+            xy=fmat[:, 0:2].copy(), xy_raw=fmat[:, 2:4].copy(),
+            octave=imat[:, 0].copy(), angle=fmat[:, 9].copy(),
+            response=fmat[:, 10].copy(), desc=desc,
+            valid=imat[:, 4] != 0, depth=fmat[:, 8].copy(),
+            ur=fmat[:, 6].copy(), patch=None,
+            xy0=fmat[:, 4:6].copy(), ur0=fmat[:, 7].copy())
+        frame._patch_dev = out.patch
+        self.builder._next_id += 1
+        frame._refined = imat[:, 3] != 0
+
+        N = frame.capacity
+        mm_success = (n_cand >= 10 and n_mm >= 20 and n_inl1_map >= 10)
+        if not mm_success:
+            # staged fallback (TrackReferenceKeyFrame path). The fused
+            # attempt may have refined some measurements already;
+            # frame._refined prevents double-refinement.
+            self._last_dev = None  # frame arrays may mutate below
+            ok = self._track_reference_keyframe(frame)
+            if ok:
+                ok = self._track_local_map(frame)
+            return self._finish_frame(frame, ok)
+
+        # decode final bindings: kp_src is a last-frame slot (< N) or
+        # N + local-map row
+        src = kp_src_arr
+        is_mm = (src >= 0) & (src < N)
+        is_lp = src >= N
+        pt_from_mm = last.pt_idx[np.clip(src, 0, N - 1)]
+        frame.pt_idx = np.where(
+            is_mm, pt_from_mm,
+            np.where(is_lp, lp_pad[np.clip(src - N, 0, len(lp_pad) - 1)], -1)
+        ).astype(np.int32)
+        tmp_kp = is_mm & (pt_from_mm < 0)
+        frame.pt_idx[tmp_kp] = -1
+        frame.tmp_valid = tmp_kp
+        if tmp_kp.any():
+            rows = src[tmp_kp]
+            z = last.depth[rows]
+            x = (last.xy[rows, 0] - cam.cx) / cam.fx * z
+            y = (last.xy[rows, 1] - cam.cy) / cam.fy * z
+            Rwc = last.pose[:, :3].T
+            Ow = -Rwc @ last.pose[:, 3]
+            frame.tmp_xyz[tmp_kp] = (np.stack([x, y, z], -1) @ Rwc.T + Ow
+                                     ).astype(np.float32)
+        frame.pose = T2.copy()
+        self.ref_kf = best_kf
+
+        # visibility / found bookkeeping (src/Tracking.cpp:1592-1616 + :1286)
+        surv_rows = kp_mm_row[kp_mm_row >= 0]
+        cur_pts = last.pt_idx[surv_rows]
+        cur_pts = cur_pts[cur_pts >= 0]
+        mp.pt_visible[lp_pad[in_frustum & pvalid]] += 1
+        mp.pt_visible[cur_pts] += 1
+        matched = frame.pt_idx[frame.pt_idx >= 0]
+        mp.pt_found[matched] += 1
+
+        n_inl = n_inl2_map
+        self.matches_inliers = n_inl
+        need = 50 if self.n_lost_frames > 0 else 30
+        ok = n_inl >= need
+        if ok:
+            # chain this frame's device arrays into the next fused call
+            # (cheap on-device slices of the packed outputs; no host hop)
+            self._last_dev = dict(
+                xy=out.fmat[:, 0:2], desc=out.desc, octave=out.imat[:, 0],
+                patch=out.patch, valid=out.imat[:, 4] != 0,
+                depth=out.fmat[:, 8])
+            self._last_dev_frame_id = frame.frame_id
+        else:
+            self._last_dev = None
+        return self._finish_frame(frame, ok)
+
     def _relocalize(self, frame: Frame) -> bool:
         if self.relocalizer is None:
             return self._track_reference_keyframe(frame)
@@ -488,23 +733,24 @@ class Tracker:
             self.matches_inliers = int((frame.pt_idx >= 0).sum())
         return ok
 
-    def _track_local_map(self, frame: Frame) -> bool:
-        """TrackLocalMap (src/Tracking.cpp:1247-1306) + SearchLocalPoints."""
+    def _select_local_points(self, ref_bindings: np.ndarray):
+        """Select the local-map slice from a frame's point bindings:
+        K1 covisibility voting + neighbor expansion (UpdateLocalKeyFrames,
+        src/Tracking.cpp:1665-1760) then the covered point set
+        (UpdateLocalPoints, :1630-1663). Returns (lp_pad [cap] int32,
+        pvalid [cap] bool, best_kf) or (None, None, -1)."""
         mp = self.map
-        cur_pts = frame.pt_idx[frame.pt_idx >= 0]
+        cur_pts = ref_bindings[ref_bindings >= 0]
         if len(cur_pts) == 0:
-            return False
-        # K1: keyframes observing current points, ordered by votes
-        # (UpdateLocalKeyFrames, src/Tracking.cpp:1665-1760)
+            return None, None, -1
         seen = np.zeros(mp.pt_xyz.shape[0], bool)
         seen[cur_pts] = True
         votes = (seen[np.clip(mp.kf_pt, 0, None)] & (mp.kf_pt >= 0)).sum(axis=1)
         votes[~mp.kf_valid] = 0
         k1 = np.flatnonzero(votes > 0)
         if len(k1) == 0:
-            return False
+            return None, None, -1
         best_kf = int(k1[np.argmax(votes[k1])])
-        self.ref_kf = best_kf
         local_kfs = list(k1[np.argsort(-votes[k1])][:60])
         for k in local_kfs[:10]:
             for kn in mp.covisible_kfs(k, 10):
@@ -513,18 +759,25 @@ class Tracker:
             if len(local_kfs) >= 80:  # cap (src/Tracking.cpp:1730)
                 break
         local_kfs = local_kfs[:80]
-
-        # local points (UpdateLocalPoints, src/Tracking.cpp:1630-1663)
         lp = np.unique(mp.kf_pt[local_kfs])
         lp = lp[(lp >= 0) & mp.pt_valid[np.clip(lp, 0, None)]]
         cap = self.cfg.local_points_cap
         if len(lp) > cap:
             lp = lp[:cap]
-        P = cap
-        pad = P - len(lp)
-        lp_pad = np.concatenate([lp, np.zeros(pad, lp.dtype)])
+        pad = cap - len(lp)
+        lp_pad = np.concatenate([lp, np.zeros(pad, lp.dtype)]).astype(np.int32)
         pvalid = np.concatenate([np.ones(len(lp), bool), np.zeros(pad, bool)])
-        already = np.concatenate([np.isin(lp, cur_pts), np.zeros(pad, bool)])
+        return lp_pad, pvalid, best_kf
+
+    def _track_local_map(self, frame: Frame) -> bool:
+        """TrackLocalMap (src/Tracking.cpp:1247-1306) + SearchLocalPoints."""
+        mp = self.map
+        cur_pts = frame.pt_idx[frame.pt_idx >= 0]
+        lp_pad, pvalid, best_kf = self._select_local_points(frame.pt_idx)
+        if lp_pad is None:
+            return False
+        self.ref_kf = best_kf
+        already = pvalid & np.isin(lp_pad, cur_pts)
 
         cam = self.cfg.camera
         th = 3.0 if self.n_lost_frames > 0 else 1.0
@@ -595,6 +848,7 @@ class Tracker:
         """CreateNewKeyFrame (src/Tracking.cpp:1436-1534). For stereo/RGB-D,
         spawn close-depth points for unmatched features (:1459-1519)."""
         mp = self.map
+        _ensure_patch(frame)
         k = mp.add_keyframe(frame.pose, frame.timestamp, frame.frame_id,
                             frame.xy, frame.octave, frame.angle, frame.desc,
                             frame.valid, frame.pt_idx,
