@@ -64,29 +64,47 @@ def _pack_bits(bits: np.ndarray) -> np.ndarray:
     return np.packbits(bits, axis=-1, bitorder="little").view("<u4").astype(np.uint32)
 
 
+def _pack_u64(bits: np.ndarray) -> np.ndarray:
+    """[N, 256] bits -> [N, 4] uint64 for popcount distance."""
+    return np.packbits(bits, axis=-1, bitorder="little").view(np.uint64)
+
+
 def _hamming(a_bits, b_bits):
-    """[A, 256] x [B, 256] -> [A, B] int."""
-    return (a_bits[:, None, :] != b_bits[None, :, :]).sum(-1)
+    """[A, 256] x [B, 256] bit arrays -> [A, B] int (packed popcount)."""
+    return _hamming_packed(_pack_u64(a_bits), _pack_u64(b_bits))
 
 
-def _kmedians_binary(bits, k, rng, iters=8):
+def _hamming_packed(a: np.ndarray, b: np.ndarray, chunk: int = 8192):
+    """[A, 4] x [B, 4] uint64 -> [A, B] int32 XOR-popcount distances."""
+    out = np.empty((len(a), len(b)), np.int32)
+    for s in range(0, len(a), chunk):
+        x = a[s:s + chunk, None, :] ^ b[None, :, :]
+        out[s:s + chunk] = np.bitwise_count(x).sum(-1, dtype=np.int32)
+    return out
+
+
+def _kmedians_binary(bits, k, rng, iters=8, packed=None):
     """k-means over binary descriptors: majority-bit medians, k-means++ seed.
     bits: [N, 256]. Returns (centers [k, 256], assignment [N])."""
     n = len(bits)
     k = min(k, n)
+    if packed is None:
+        packed = _pack_u64(bits)
     # k-means++ seeding
-    centers = [bits[rng.integers(n)]]
+    center_idx = [rng.integers(n)]
+    d_min = None
     for _ in range(k - 1):
-        d = _hamming(bits, np.stack(centers)).min(-1).astype(np.float64)
-        p = d / max(d.sum(), 1e-9)
-        if d.sum() < 1e-9:
-            centers.append(bits[rng.integers(n)])
+        d_new = _hamming_packed(packed, packed[center_idx[-1:]])[:, 0]
+        d_min = d_new if d_min is None else np.minimum(d_min, d_new)
+        tot = float(d_min.sum())
+        if tot < 1e-9:
+            center_idx.append(rng.integers(n))
         else:
-            centers.append(bits[rng.choice(n, p=p)])
-    centers = np.stack(centers)
+            center_idx.append(rng.choice(n, p=d_min.astype(np.float64) / tot))
+    centers = bits[np.array(center_idx)]
     assign = np.zeros(n, np.int64)
     for _ in range(iters):
-        assign = _hamming(bits, centers).argmin(-1)
+        assign = _hamming_packed(packed, _pack_u64(centers)).argmin(-1)
         new_centers = centers.copy()
         for c in range(k):
             m = assign == c
@@ -155,22 +173,23 @@ def train_vocabulary(descriptors: np.ndarray, k: int = 10, levels: int = 4,
 
 
 def assign_words_numpy(voc: Vocabulary, descriptors: np.ndarray) -> np.ndarray:
-    """Reference (host) implementation of the tree descent; ops/bow.py is
-    the batched device version. Returns word ids [N]."""
-    bits = _unpack_bits(descriptors)
-    node_bits = _unpack_bits(voc.node_desc)
-    out = np.zeros(len(descriptors), np.int64)
-    for i in range(len(descriptors)):
-        nid = 0
-        while voc.node_word[nid] < 0:
-            ch = voc.node_children[nid]
-            ch = ch[ch >= 0]
-            if len(ch) == 0:
-                break
-            d = (node_bits[ch] != bits[i][None]).sum(-1)
-            nid = int(ch[d.argmin()])
-        out[i] = max(voc.node_word[nid], 0)
-    return out
+    """Host implementation of the tree descent, vectorized over descriptors
+    exactly like the device kernel (ops/bow.assign_words). Returns word
+    ids [N]."""
+    packed = _pack_u64(_unpack_bits(descriptors))          # [N, 4]
+    node_packed = _pack_u64(_unpack_bits(voc.node_desc))   # [Nn, 4]
+    n = len(descriptors)
+    nid = np.zeros(n, np.int64)
+    for _ in range(voc.levels):
+        ch = voc.node_children[nid]                        # [N, k]
+        chd = node_packed[np.clip(ch, 0, None)]            # [N, k, 4]
+        dist = np.bitwise_count(chd ^ packed[:, None, :]).sum(-1, dtype=np.int32)
+        dist[ch < 0] = 1 << 20
+        best = ch[np.arange(n), dist.argmin(-1)]
+        has_child = (ch >= 0).any(-1)
+        step = has_child & (voc.node_word[nid] < 0)
+        nid = np.where(step, best, nid)
+    return np.maximum(voc.node_word[nid], 0).astype(np.int64)
 
 
 def load_orbvoc_text(path) -> Vocabulary:

@@ -36,6 +36,84 @@ def _bucket(n: int, buckets) -> int:
     return buckets[-1]
 
 
+def build_ba_problem(mp: MapState, cfg: SlamConfig, sigma2: np.ndarray,
+                     cams: list[int], fixed: list[int],
+                     points: np.ndarray | None = None):
+    """Construct a bucketed fixed-shape BAProblem from map slices.
+
+    Returns (prob, meta) where meta carries the index bookkeeping needed to
+    write results back: cam_arr, points, kf_of_e, fi (feature index per
+    edge), E_need, and n_dropped (edges beyond the bucket, subsampled out).
+    """
+    cam_arr = np.asarray(cams, np.int32)
+    if points is None:
+        points = np.unique(mp.kf_pt[cam_arr])
+        points = points[points >= 0]
+        points = points[mp.pt_valid[points]]
+    pt_buckets = cfg.ba_point_buckets
+    P = _bucket(len(points), pt_buckets)
+    points = points[:P]
+
+    # edge list: observations of selected points by selected cams
+    pt_slot = np.full(mp.pt_xyz.shape[0], -1, np.int32)
+    pt_slot[points] = np.arange(len(points))
+    cam_slot = np.full(mp.kf_pose.shape[0], -1, np.int32)
+    cam_slot[cam_arr] = np.arange(len(cam_arr))
+    sub_pt = mp.kf_pt[cam_arr]                       # [C, N]
+    e_mask = (sub_pt >= 0) & (pt_slot[np.clip(sub_pt, 0, None)] >= 0)
+    ci, fi = np.where(e_mask)
+    E_need = len(ci)
+    E = _bucket(E_need, cfg.ba_edge_buckets)
+    n_dropped = max(E_need - E, 0)
+    if E_need > E:
+        keep = np.random.default_rng(0).choice(E_need, E, replace=False)
+        ci, fi = ci[keep], fi[keep]
+        E_need = E
+    kf_of_e = cam_arr[ci]
+    pt_of_e = sub_pt[ci, fi]
+    uv = mp.kf_xy[kf_of_e, fi]
+    ur = mp.kf_ur[kf_of_e, fi]
+    octv = mp.kf_octave[kf_of_e, fi]
+    info = (1.0 / sigma2)[np.clip(octv, 0, len(sigma2) - 1)]
+
+    C = _bucket(len(cam_arr), cfg.ba_cam_buckets)
+    padC = C - len(cam_arr)
+    padP = P - len(points)
+    padE = E - E_need
+
+    fixed_set = set(fixed)
+    prob = BA.BAProblem(
+        cam_T=jnp.asarray(np.concatenate(
+            [mp.kf_pose[cam_arr],
+             np.tile(np.eye(3, 4, dtype=np.float32), (padC, 1, 1))])),
+        cam_fixed=jnp.asarray(np.concatenate(
+            [np.array([c in fixed_set for c in cams]),
+             np.ones(padC, bool)])),
+        cam_valid=jnp.asarray(np.concatenate(
+            [np.ones(len(cam_arr), bool), np.zeros(padC, bool)])),
+        pts=jnp.asarray(np.concatenate(
+            [mp.pt_xyz[points], np.zeros((padP, 3), np.float32)])),
+        pt_valid=jnp.asarray(np.concatenate(
+            [np.ones(len(points), bool), np.zeros(padP, bool)])),
+        e_cam=jnp.asarray(np.concatenate(
+            [cam_slot[kf_of_e], np.zeros(padE, np.int32)]).astype(np.int32)),
+        e_pt=jnp.asarray(np.concatenate(
+            [pt_slot[pt_of_e], np.zeros(padE, np.int32)]).astype(np.int32)),
+        e_obs=jnp.asarray(np.concatenate(
+            [np.stack([uv[:, 0], uv[:, 1], np.maximum(ur, 0.0)], -1),
+             np.zeros((padE, 3), np.float32)]).astype(np.float32)),
+        e_stereo=jnp.asarray(np.concatenate([ur >= 0, np.zeros(padE, bool)])),
+        e_info=jnp.asarray(np.concatenate(
+            [info, np.zeros(padE)]).astype(np.float32)),
+        e_valid=jnp.asarray(np.concatenate(
+            [np.ones(E_need, bool), np.zeros(padE, bool)])),
+    )
+    meta = {"cam_arr": cam_arr, "points": points, "kf_of_e": kf_of_e,
+            "fi": fi, "E_need": E_need, "fixed_set": fixed_set,
+            "n_dropped": n_dropped}
+    return prob, meta
+
+
 class LocalMapper:
     def __init__(self, cfg: SlamConfig, mp: MapState, loop_closer=None,
                  kf_db=None, bow_encode=None):
@@ -151,21 +229,33 @@ class LocalMapper:
 
     def cull_keyframes(self, kf: int):
         """KeyFrameCulling (src/LocalMapping.cpp:832-921): discard a local
-        covisible KF if >=90% of its points are seen by >=3 other KFs at the
-        same or finer scale."""
+        covisible KF if >=90% of its (close, for stereo/RGB-D) points are
+        seen by >=3 OTHER keyframes at the same or finer scale
+        (scaleLeveli <= scaleLevel + 1, :873-908)."""
         mp = self.map
-        obs_counts = mp.point_obs_count()
         for k in mp.covisible_kfs(kf):
             k = int(k)
             if k == kf or mp.kf_frame_id[k] <= 1:
                 continue
-            pts = mp.kf_pt[k]
-            has = pts >= 0
-            n_pts = int(has.sum())
+            feats = np.flatnonzero(mp.kf_pt[k] >= 0)
+            pts = mp.kf_pt[k, feats]
+            if self.cfg.sensor != Sensor.MONOCULAR:
+                # only close, positive-depth points count (:861-866)
+                d = mp.kf_depth[k, feats]
+                keep = (d > 0) & (d < self.cfg.close_depth_threshold)
+                feats, pts = feats[keep], pts[keep]
+            n_pts = len(pts)
             if n_pts == 0:
                 continue
-            # redundancy proxy: point observed >= 4 times total (itself + 3)
-            redundant = (obs_counts[np.clip(pts, 0, None)] >= 4) & has
+            # every observation of this KF's points, with observer octave
+            rows, cols, obs_pt = mp.observations_of(pts)
+            lv_of_pt = np.full(mp.pt_xyz.shape[0], 0, np.int32)
+            lv_of_pt[pts] = mp.kf_octave[k, feats]
+            same_or_finer = (rows != k) & (
+                mp.kf_octave[rows, cols] <= lv_of_pt[obs_pt] + 1)
+            n_good_obs = np.bincount(obs_pt[same_or_finer],
+                                     minlength=mp.pt_xyz.shape[0])
+            redundant = n_good_obs[pts] >= 3
             if redundant.sum() > 0.9 * n_pts:
                 mp.remove_keyframe(k)
                 if self.kf_db is not None:
@@ -297,7 +387,8 @@ class LocalMapper:
             jnp.asarray(mp.pt_max_dist[lp]), jnp.asarray(np.zeros(cap, bool)),
             jnp.asarray(mp.kf_xy[dst_kf]), jnp.asarray(mp.kf_octave[dst_kf]),
             jnp.asarray(mp.kf_desc[dst_kf]), jnp.asarray(mp.kf_feat_valid[dst_kf]),
-            jnp.asarray(self.sf), cam.fx, cam.fy, cam.cx, cam.cy,
+            jnp.asarray(mp.kf_ur[dst_kf]),
+            jnp.asarray(self.sf), cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
             cam.width, cam.height, self.cfg.orb.n_levels,
             float(np.log(self.cfg.orb.scale_factor)), 3.0)
         midx = np.asarray(res.idx)
@@ -374,74 +465,19 @@ class LocalMapper:
         """Build a bucketed BAProblem from map slices, solve, write back,
         and prune outlier observations."""
         mp = self.map
-        cfg = self.cfg
-        cam_arr = np.asarray(cams, np.int32)
-        if points is None:
-            points = np.unique(mp.kf_pt[cam_arr])
-            points = points[points >= 0]
-            points = points[mp.pt_valid[points]]
-        P_need = len(points)
-        pt_buckets = cfg.ba_point_buckets
-        P = _bucket(P_need, pt_buckets)
-        points = points[:P]
-
-        # edge list: observations of selected points by selected cams
-        pt_slot = np.full(mp.pt_xyz.shape[0], -1, np.int32)
-        pt_slot[points] = np.arange(len(points))
-        cam_slot = np.full(mp.kf_pose.shape[0], -1, np.int32)
-        cam_slot[cam_arr] = np.arange(len(cam_arr))
-        sub_pt = mp.kf_pt[cam_arr]                       # [C, N]
-        e_mask = (sub_pt >= 0) & (pt_slot[np.clip(sub_pt, 0, None)] >= 0)
-        ci, fi = np.where(e_mask)
-        E_need = len(ci)
-        E = _bucket(E_need, cfg.ba_edge_buckets)
-        if E_need > E:
-            keep = np.random.default_rng(0).choice(E_need, E, replace=False)
-            ci, fi = ci[keep], fi[keep]
-            E_need = E
-        kf_of_e = cam_arr[ci]
-        pt_of_e = sub_pt[ci, fi]
-        uv = mp.kf_xy[kf_of_e, fi]
-        ur = mp.kf_ur[kf_of_e, fi]
-        octv = mp.kf_octave[kf_of_e, fi]
-        info = (1.0 / self.sigma2)[np.clip(octv, 0, len(self.sigma2) - 1)]
-
-        C = _bucket(len(cam_arr), cfg.ba_cam_buckets)
-        padC = C - len(cam_arr)
-        padP = P - len(points)
-        padE = E - E_need
-
-        fixed_set = set(fixed)
-        prob = BA.BAProblem(
-            cam_T=jnp.asarray(np.concatenate(
-                [mp.kf_pose[cam_arr],
-                 np.tile(np.eye(3, 4, dtype=np.float32), (padC, 1, 1))])),
-            cam_fixed=jnp.asarray(np.concatenate(
-                [np.array([c in fixed_set for c in cams]),
-                 np.ones(padC, bool)])),
-            cam_valid=jnp.asarray(np.concatenate(
-                [np.ones(len(cam_arr), bool), np.zeros(padC, bool)])),
-            pts=jnp.asarray(np.concatenate(
-                [mp.pt_xyz[points], np.zeros((padP, 3), np.float32)])),
-            pt_valid=jnp.asarray(np.concatenate(
-                [np.ones(len(points), bool), np.zeros(padP, bool)])),
-            e_cam=jnp.asarray(np.concatenate(
-                [cam_slot[kf_of_e], np.zeros(padE, np.int32)]).astype(np.int32)),
-            e_pt=jnp.asarray(np.concatenate(
-                [pt_slot[pt_of_e], np.zeros(padE, np.int32)]).astype(np.int32)),
-            e_obs=jnp.asarray(np.concatenate(
-                [np.stack([uv[:, 0], uv[:, 1], np.maximum(ur, 0.0)], -1),
-                 np.zeros((padE, 3), np.float32)]).astype(np.float32)),
-            e_stereo=jnp.asarray(np.concatenate([ur >= 0, np.zeros(padE, bool)])),
-            e_info=jnp.asarray(np.concatenate(
-                [info, np.zeros(padE)]).astype(np.float32)),
-            e_valid=jnp.asarray(np.concatenate(
-                [np.ones(E_need, bool), np.zeros(padE, bool)])),
-        )
+        prob, meta = build_ba_problem(mp, self.cfg, self.sigma2, cams, fixed,
+                                      points)
+        if meta["n_dropped"]:
+            from .utils.metrics import log_event
+            log_event("ba_edges_dropped", dropped=meta["n_dropped"],
+                      kept=meta["E_need"])
         cam_p = self.cfg.camera
         res = BA.ba_solve(prob, cam_p.fx, cam_p.fy, cam_p.cx, cam_p.cy,
                           cam_p.bf, iters1=iters[0], iters2=iters[1])
         # write back
+        cam_arr, points = meta["cam_arr"], meta["points"]
+        fixed_set = meta["fixed_set"]
+        kf_of_e, fi, E_need = meta["kf_of_e"], meta["fi"], meta["E_need"]
         new_T = np.asarray(res.cam_T)[:len(cam_arr)]
         for i, c in enumerate(cams):
             if c not in fixed_set:

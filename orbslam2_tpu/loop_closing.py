@@ -36,11 +36,12 @@ COVISIBILITY_CONSISTENCY_TH = 3  # src/LoopClosing.cpp:43
 
 class LoopCloser:
     def __init__(self, cfg: SlamConfig, mp: MapState, kf_db: KeyFrameDatabase,
-                 local_mapper):
+                 local_mapper, global_ba=None):
         self.cfg = cfg
         self.map = mp
         self.kf_db = kf_db
         self.local_mapper = local_mapper
+        self.global_ba = global_ba  # background abortable GBA (global_ba.py)
         self.sigma2 = F.sigma2_per_octave(cfg.orb)
         self._key = jax.random.PRNGKey(23)
         self.prev_groups: list[tuple[set, int]] = []
@@ -51,6 +52,11 @@ class LoopCloser:
 
     # ------------------------------------------------------------------ entry
     def process(self, kf: int) -> bool:
+        # apply any finished background GBA on the pipeline thread (the
+        # reference applies results after LocalMapping stops,
+        # src/LoopClosing.cpp:830-910)
+        if self.global_ba is not None:
+            self.global_ba.poll()
         self.kf_counter += 1
         if self.kf_counter - self.last_loop_counter < 10:  # :131
             return False
@@ -70,9 +76,7 @@ class LoopCloser:
         mp = self.map
         covis = [int(k) for k in mp.covisible_kfs(kf, min_weight=15)]
         if covis:
-            scores = 1.0 - 0.5 * np.abs(
-                self.kf_db.vectors[covis] - self.kf_db.vectors[kf][None]
-            ).sum(axis=1)
+            scores = self.kf_db.scores_for_kf(kf, covis)
             min_score = float(max(scores.min(), 0.0))  # :143-157
         else:
             min_score = 0.0
@@ -192,7 +196,24 @@ class LoopCloser:
         ok = (z > 0.1) & (u >= 0) & (u < cam.width) & (v >= 0) & (v < cam.height)
         if ok.sum() == 0:
             return 0
-        # Hamming match within a 10px window
+        # scale-aware search (SearchByProjection(Scw), src/ORBmatcher.cpp:
+        # 370-497): predict the pyramid level from the world-space distance
+        # to the SE3-demoted corrected camera center (PredictScale,
+        # src/MapPoint.cpp:489-530), then gate at [pred-1, pred]
+        S_R = R12 @ T2[:, :3]
+        t_dem = (s12 * (R12 @ T2[:, 3]) + t12) / s12
+        Ow = -S_R.T @ t_dem
+        dist_w = np.linalg.norm(mp.pt_xyz[pts] - Ow[None], axis=-1)
+        log_scale = float(np.log(self.cfg.orb.scale_factor))
+        ratio = np.maximum(mp.pt_max_dist[pts], 1e-9) / np.maximum(dist_w, 1e-9)
+        pred = np.ceil(np.log(ratio) / log_scale).astype(np.int32)
+        pred = np.clip(pred, 0, self.cfg.orb.n_levels - 1)
+        # scale-band gate as in the frustum check (:409-418)
+        band = (dist_w >= 0.8 * mp.pt_min_dist[pts]) & \
+               (dist_w <= 1.2 * mp.pt_max_dist[pts])
+        ok = ok & band
+        if ok.sum() == 0:
+            return 0
         from .ops import matching as M
         cap = self.cfg.local_points_cap
         sel = np.flatnonzero(ok)[:cap]
@@ -202,13 +223,14 @@ class LoopCloser:
         desc = np.concatenate([mp.pt_desc[pts[sel]],
                                np.zeros((pad, 8), np.uint32)])
         pvalid = np.concatenate([np.ones(len(sel), bool), np.zeros(pad, bool)])
+        pred_pad = np.concatenate([pred[sel], np.zeros(pad, np.int32)])
         res = M.search_by_projection(
-            jnp.asarray(uv), jnp.zeros(cap, jnp.int32),
+            jnp.asarray(uv), jnp.asarray(pred_pad),
             jnp.full(cap, 10.0), jnp.asarray(desc), jnp.asarray(pvalid),
             jnp.asarray(mp.kf_xy[kf]), jnp.asarray(mp.kf_octave[kf]),
             jnp.asarray(mp.kf_desc[kf]), jnp.asarray(mp.kf_feat_valid[kf]),
             jnp.asarray(F.scale_factors(self.cfg.orb)),
-            max_dist=M.TH_LOW, ratio=None, level_window=(-8, 8))
+            max_dist=M.TH_LOW, ratio=None, level_window=(-1, 0))
         self._support_matches = (pts[sel], np.asarray(res.idx)[:len(sel)])
         return int((np.asarray(res.idx)[:len(sel)] >= 0).sum())
 
@@ -216,6 +238,10 @@ class LoopCloser:
     def _correct_loop(self, kf: int, kc: int, s12, R12, t12):
         """CorrectLoop (src/LoopClosing.cpp:512-810)."""
         mp = self.map
+        # a running GBA operates on pre-loop geometry: abort it now
+        # (src/LoopClosing.cpp:521-535); a fresh one launches below
+        if self.global_ba is not None and self.global_ba.running:
+            self.global_ba.request_abort()
         pre_pose = mp.kf_pose.copy()
         group = [kf] + [int(x) for x in mp.covisible_kfs(kf)]
 
@@ -274,25 +300,33 @@ class LoopCloser:
         self._optimize_essential_graph(kf, kc, pre_pose)
         self.loop_edges.append((kf, kc))
 
-        # bounded global BA (RunGlobalBundleAdjustment :811)
-        kfs = [int(k) for k in mp.kf_ids]
-        self.local_mapper.run_ba(kfs, fixed=[kc], iters=(5, 10))
+        # global BA (RunGlobalBundleAdjustment :811). With a GlobalBA
+        # manager it runs in a background thread on a map snapshot, abortable
+        # between chunks — a second loop arriving mid-solve aborts it here
+        # (the reference's mbStopGBA, :521-542) and relaunches after its own
+        # correction. Without one (unit tests), a bounded synchronous BA.
+        if self.global_ba is not None:
+            self.global_ba.launch(fixed_kf=kc)
+        else:
+            kfs = [int(k) for k in mp.kf_ids]
+            self.local_mapper.run_ba(kfs, fixed=[kc], iters=(5, 10))
 
     def _optimize_essential_graph(self, kf: int, kc: int, pre_pose):
         mp = self.map
         K = mp.kf_pose.shape[0]
         valid = mp.kf_valid.copy()
         ids = np.flatnonzero(valid)
-        # edges: spanning tree + strong covisibility (>=100) + loop edges
+        # edges: spanning tree + strong covisibility (>=100) + loop edges —
+        # one full covisibility-matrix pass (native kernel) instead of a
+        # per-KF O(K^2 N) voting loop
         e_set = set()
         for k in ids:
             p = mp.kf_parent[k]
             if p >= 0 and valid[p]:
                 e_set.add((int(k), int(p)))
-            w = mp.covisibility_weights(int(k))
-            for j in np.flatnonzero(w >= 100):
-                if valid[j]:
-                    e_set.add((min(int(k), int(j)), max(int(k), int(j))))
+        W = mp.covis_matrix()
+        for a, b in zip(*np.where(np.triu(W, 1) >= 100)):
+            e_set.add((int(a), int(b)))
         for (a, b) in self.loop_edges + [(kf, kc)]:
             if valid[a] and valid[b]:
                 e_set.add((int(a), int(b)))

@@ -398,6 +398,33 @@ class MapState:
         w[~self.kf_valid] = 0
         return w
 
+    def covis_matrix(self) -> np.ndarray:
+        """Full [K, K] shared-point counts in one pass (native kernel, BLAS
+        fallback) — replaces per-KF covisibility_weights loops, which are
+        O(K^2 N) when the caller sweeps all keyframes (pose-graph edge
+        construction, loop detection)."""
+        from .. import native
+        W = native.covis_matrix(self.kf_pt, self.kf_valid,
+                                self.pt_xyz.shape[0])
+        if W is None:
+            # incidence matmul fallback: [K, Pv] f32 against itself
+            live = np.flatnonzero(self.pt_valid)
+            slot = np.full(self.pt_xyz.shape[0] + 1, -1, np.int64)
+            slot[live] = np.arange(len(live))
+            idx = slot[np.where(self.kf_pt >= 0, self.kf_pt,
+                                self.pt_xyz.shape[0])]
+            K = self.kf_pt.shape[0]
+            B = np.zeros((K, len(live) + 1), np.float32)
+            rows = np.repeat(np.arange(K), self.kf_pt.shape[1])
+            B[rows, np.where(idx >= 0, idx, len(live)).ravel()] = 1.0
+            B[:, -1] = 0.0
+            B[~self.kf_valid] = 0.0
+            W = (B @ B.T).astype(np.int32)
+        np.fill_diagonal(W, 0)
+        W[~self.kf_valid] = 0
+        W[:, ~self.kf_valid] = 0
+        return W
+
     def covisible_kfs(self, k: int, n: int | None = None, min_weight: int = 15
                       ) -> np.ndarray:
         """Best covisible keyframes ordered by weight (threshold 15, best
@@ -483,36 +510,46 @@ class MapState:
         t = self.kf_pose[kf, :, 3]
         centers = -np.einsum("nij,nj->ni", R.transpose(0, 2, 1), t)
 
-        # medoid descriptors over all groups at once via the native kernel
+        # group observations by point (sorted), then every per-point stat is
+        # a grouped reduction — no Python loop over points
         from .. import native
         order = np.argsort(pt, kind="stable")
         pt_s, kf_s, feat_s = pt[order], kf[order], feat[order]
+        centers_s = centers[order]
         uniq, starts = np.unique(pt_s, return_index=True)
         offsets = np.concatenate([starts, [len(pt_s)]]).astype(np.int64)
         descs_s = self.kf_desc[kf_s, feat_s]
+
+        # medoid descriptors over all groups at once (native kernel; packed
+        # popcount fallback group-by-group)
         med = native.medoid_descriptors(descs_s, offsets)
         if med is not None:
             self.pt_desc[uniq] = descs_s[med]
-
-        for p in pt_ids:
-            m = pt == p
-            if not m.any():
-                continue
-            kfs, feats = kf[m], feat[m]
-            if med is None:
-                descs = self.kf_desc[kfs, feats]  # [M, 8] uint32
-                x = descs[:, None, :] ^ descs[None, :, :]
+        else:
+            for g in range(len(uniq)):
+                d = descs_s[starts[g]:offsets[g + 1]]
+                x = d[:, None, :] ^ d[None, :, :]
                 dist = np.unpackbits(x.view(np.uint8), axis=-1).sum(-1).sum(-1)
-                self.pt_desc[p] = descs[np.argmin(dist)]
-            # normal + distance band from the reference observation
-            vecs = self.pt_xyz[p][None] - centers[m]
-            norms = np.linalg.norm(vecs, axis=-1, keepdims=True)
-            normal = (vecs / np.maximum(norms, 1e-9)).mean(axis=0)
-            self.pt_normal[p] = normal / max(np.linalg.norm(normal), 1e-9)
-            ref_pos = np.where(kfs == self.pt_ref_kf[p])[0]
-            j = ref_pos[0] if len(ref_pos) else 0
-            dist_ref = float(norms[j, 0])
-            level = int(self.kf_octave[kfs[j], feats[j]])
-            self.pt_max_dist[p] = dist_ref * (sf ** level)
-            self.pt_min_dist[p] = self.pt_max_dist[p] / (sf ** (n_levels - 1))
+                self.pt_desc[uniq[g]] = d[np.argmin(dist)]
+
+        # mean viewing direction (MapPoint::UpdateNormalAndDepth :422)
+        vecs = self.pt_xyz[pt_s] - centers_s
+        norms = np.linalg.norm(vecs, axis=-1)
+        units = vecs / np.maximum(norms, 1e-9)[:, None]
+        nsum = np.add.reduceat(units, starts, axis=0)
+        self.pt_normal[uniq] = nsum / np.maximum(
+            np.linalg.norm(nsum, axis=-1, keepdims=True), 1e-9)
+
+        # distance band from the reference observation: first observation by
+        # pt_ref_kf if present, else the group's first (grouped argmin trick)
+        M = len(pt_s)
+        pos = np.arange(M)
+        is_ref = kf_s == self.pt_ref_kf[pt_s]
+        key = np.where(is_ref, pos, pos + M)
+        j = np.minimum.reduceat(key, starts)
+        j = np.where(j >= M, j - M, j)
+        dist_ref = norms[j]
+        level = self.kf_octave[kf_s[j], feat_s[j]]
+        self.pt_max_dist[uniq] = dist_ref * (sf ** level)
+        self.pt_min_dist[uniq] = self.pt_max_dist[uniq] / (sf ** (n_levels - 1))
         self.mark_points_dirty(pt_ids)

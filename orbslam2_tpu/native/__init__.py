@@ -37,6 +37,9 @@ def _load():
             ctypes.c_void_p, ctypes.c_void_p]
         lib.medoid_descriptors.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, i64, ctypes.c_void_p]
+        lib.covis_matrix.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, i64, i64, i64,
+            ctypes.c_void_p, ctypes.c_void_p]
         _lib = lib
     except Exception:
         _lib = None
@@ -63,6 +66,23 @@ def covis_weights(kf_pt: np.ndarray, kf_valid: np.ndarray, k: int,
     lib.covis_weights(kf_pt.ctypes.data, valid.ctypes.data, K, N, n_points,
                       int(k), scratch.ctypes.data, out.ctypes.data)
     return out
+
+
+def covis_matrix(kf_pt: np.ndarray, kf_valid: np.ndarray, n_points: int
+                 ) -> np.ndarray | None:
+    """Full [K, K] shared-point counts (upper triangular + mirrored);
+    returns None if the library is missing."""
+    lib = _load()
+    if lib is None:
+        return None
+    K, N = kf_pt.shape
+    kf_pt = np.ascontiguousarray(kf_pt, np.int32)
+    valid = np.ascontiguousarray(kf_valid, np.uint8)
+    scratch = np.full(n_points, -1, np.int32)
+    out = np.zeros((K, K), np.int32)
+    lib.covis_matrix(kf_pt.ctypes.data, valid.ctypes.data, K, N, n_points,
+                     scratch.ctypes.data, out.ctypes.data)
+    return out + out.T
 
 
 def medoid_descriptors(descs: np.ndarray, offsets: np.ndarray

@@ -35,14 +35,22 @@ class Relocalizer:
         self.sigma2 = F.sigma2_per_octave(cfg.orb)
         self._key = jax.random.PRNGKey(17)
 
-    def frame_bow(self, desc: np.ndarray, valid: np.ndarray) -> np.ndarray:
+    def frame_bow(self, desc: np.ndarray, valid: np.ndarray
+                  ) -> tuple[np.ndarray, np.ndarray]:
+        """Sparse tf-idf BoW of a frame: (word_ids, L1-normalized weights).
+        The device kernel assigns words; the sparse vector is built on host
+        so memory stays O(words-per-frame) regardless of vocabulary size."""
         words, wvalid = BOW.assign_words(
             jnp.asarray(self.voc.node_desc), jnp.asarray(self.voc.node_children),
             jnp.asarray(self.voc.node_word), jnp.asarray(desc),
             jnp.asarray(valid), self.voc.levels)
-        vec = BOW.bow_vector(words, wvalid, jnp.asarray(self.voc.word_weight),
-                             self.voc.n_words)
-        return np.asarray(vec)
+        w = np.asarray(words)[np.asarray(wvalid)]
+        uniq, counts = np.unique(w, return_counts=True)
+        wt = self.voc.word_weight[uniq] * counts
+        s = wt.sum()
+        if s > 0:
+            wt = wt / s
+        return uniq.astype(np.int32), wt.astype(np.float32)
 
     def relocalize(self, frame: Frame) -> bool:
         vec = self.frame_bow(frame.desc, frame.valid)

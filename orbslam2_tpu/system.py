@@ -26,6 +26,7 @@ import numpy as np
 from .config import SlamConfig, Sensor
 from .io import trajectory as traj_io
 from .io.vocabulary import Vocabulary
+from .global_ba import GlobalBA
 from .local_mapping import LocalMapper
 from .map.keyframe_db import KeyFrameDatabase
 from .map.mapstate import MapState
@@ -57,8 +58,10 @@ class System:
         self.relocalizer = Relocalizer(cfg, self.map, vocabulary, self.kf_db)
         self.local_mapper = LocalMapper(cfg, self.map, kf_db=self.kf_db,
                                         bow_encode=self.relocalizer.frame_bow)
+        self.global_ba = GlobalBA(cfg, self.map)
         self.loop_closer = LoopCloser(cfg, self.map, self.kf_db,
-                                      self.local_mapper)
+                                      self.local_mapper,
+                                      global_ba=self.global_ba)
         self.local_mapper.loop_closer = self.loop_closer
         self.tracker = Tracker(cfg, self.map, self._mapper_proxy(),
                                relocalizer=self.relocalizer)
@@ -187,12 +190,16 @@ class System:
         }
 
     def shutdown(self):
+        """System::Shutdown (src/System.cpp:285): drain the mapping queue
+        and wait for a running global BA, applying its result."""
         if self._async and self._queue is not None:
             self._queue.put(None)
             self._worker.join(timeout=30)
+        self.global_ba.wait_and_apply()
 
     def reset(self):
         """System::Reset (src/System.cpp:279; Tracking::Reset :2030)."""
+        self.global_ba.abort_and_join()
         n_feat = self.map.kf_xy.shape[1]
         self.map = MapState(self.cfg, n_feat)
         self.kf_db = KeyFrameDatabase(self.cfg, self.map, self.vocabulary.n_words)
@@ -200,8 +207,10 @@ class System:
                                        self.kf_db)
         self.local_mapper = LocalMapper(self.cfg, self.map, kf_db=self.kf_db,
                                         bow_encode=self.relocalizer.frame_bow)
+        self.global_ba = GlobalBA(self.cfg, self.map)
         self.loop_closer = LoopCloser(self.cfg, self.map, self.kf_db,
-                                      self.local_mapper)
+                                      self.local_mapper,
+                                      global_ba=self.global_ba)
         self.local_mapper.loop_closer = self.loop_closer
         self.tracker = Tracker(self.cfg, self.map, self._mapper_proxy(),
                                relocalizer=self.relocalizer)
@@ -218,14 +227,17 @@ class System:
         keyframe database is rebuilt and the tracker set LOST so the next
         frame relocalizes."""
         from .tracking import TrackState
+        self.global_ba.abort_and_join()
         self.map = MapState.load(path, self.cfg)
         self.kf_db = KeyFrameDatabase(self.cfg, self.map, self.vocabulary.n_words)
         self.relocalizer = Relocalizer(self.cfg, self.map, self.vocabulary,
                                        self.kf_db)
         self.local_mapper = LocalMapper(self.cfg, self.map, kf_db=self.kf_db,
                                         bow_encode=self.relocalizer.frame_bow)
+        self.global_ba = GlobalBA(self.cfg, self.map)
         self.loop_closer = LoopCloser(self.cfg, self.map, self.kf_db,
-                                      self.local_mapper)
+                                      self.local_mapper,
+                                      global_ba=self.global_ba)
         self.local_mapper.loop_closer = self.loop_closer
         self.tracker = Tracker(self.cfg, self.map, self._mapper_proxy(),
                                relocalizer=self.relocalizer)

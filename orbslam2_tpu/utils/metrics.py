@@ -53,6 +53,23 @@ class MetricsLog:
         }
 
 
+_EVENT_LOG: list = []
+
+
+def log_event(kind: str, **fields):
+    """Record a structured one-off engine event (coverage losses, aborts,
+    capacity warnings). Kept in-process; drain with `drain_events()`."""
+    _EVENT_LOG.append({"kind": kind, "t": time.time(), **fields})
+    if len(_EVENT_LOG) > 10000:
+        del _EVENT_LOG[:5000]
+
+
+def drain_events() -> list:
+    out = list(_EVENT_LOG)
+    _EVENT_LOG.clear()
+    return out
+
+
 class Timer:
     """Context timer for host-side stage profiling."""
 

@@ -182,3 +182,70 @@ class TestKeyFrameDatabase:
         q = np.zeros(100, np.float32)
         q[[1, 2, 3]] = 1 / 3
         assert len(db.detect_reloc_candidates(q)) == 0
+
+
+class TestSparseDatabaseScale:
+    """The sparse keyframe database keeps memory O(K * words-per-KF)
+    regardless of vocabulary size (vs round 1's dense [K, n_words] matrix),
+    so production-scale vocabularies (the default ships ~153k words; the
+    reference's ORBvoc is ~1M) are usable."""
+
+    def _world(self, n_words):
+        from orbslam2_tpu.config import SlamConfig
+        from orbslam2_tpu.map.mapstate import MapState
+        from orbslam2_tpu.map.keyframe_db import KeyFrameDatabase
+        cfg = SlamConfig(max_keyframes=16, max_points=256)
+        mp = MapState(cfg, 64)
+        db = KeyFrameDatabase(cfg, mp, n_words=n_words)
+        return cfg, mp, db
+
+    def _add_kf(self, mp, db, words, fid):
+        pose = np.hstack([np.eye(3), np.zeros((3, 1))]).astype(np.float32)
+        k = mp.add_keyframe(pose, 0.0, fid, np.zeros((64, 2), np.float32),
+                            np.zeros(64, np.int32), np.zeros(64, np.float32),
+                            np.zeros((64, 8), np.uint32), np.ones(64, bool),
+                            np.full(64, -1, np.int32))
+        w = np.asarray(words, np.int64)
+        db.add(k, (w, np.full(len(w), 1.0 / len(w), np.float32)))
+        return k
+
+    def test_storage_independent_of_vocab_size(self):
+        _, _, db_small = self._world(1000)
+        _, _, db_big = self._world(1_000_000)
+        assert db_small.word_ids.nbytes == db_big.word_ids.nbytes
+        assert db_big.word_ids.nbytes < 1 << 20  # 16 KFs x 64 words
+
+    def test_million_word_queries(self):
+        _, mp, db = self._world(1_000_000)
+        a = self._add_kf(mp, db, [10, 999_000, 500_000, 123_456], 0)
+        b = self._add_kf(mp, db, [7, 8, 9, 11], 1)
+        cands = db.detect_reloc_candidates(
+            (np.array([10, 999_000, 500_000]),
+             np.array([1 / 3, 1 / 3, 1 / 3], np.float32)))
+        assert a in cands and b not in cands
+
+    def test_sparse_scores_match_dense_l1(self):
+        """For L1-normalized vectors, sum_i min(q_i, v_i) == 1 - 0.5|q-v|_1
+        — the sparse gather scoring must equal the dense formula."""
+        rng = np.random.default_rng(0)
+        _, mp, db = self._world(500)
+        dense_rows = []
+        for fid in range(4):
+            words = np.sort(rng.choice(500, 20, replace=False))
+            wt = rng.random(20).astype(np.float32)
+            wt /= wt.sum()
+            self._add_kf(mp, db, words, fid)
+            db.weights[fid, :20] = wt  # overwrite uniform weights
+            v = np.zeros(500, np.float32)
+            v[words] = wt
+            dense_rows.append(v)
+        qw = np.sort(rng.choice(500, 15, replace=False))
+        qv = rng.random(15).astype(np.float32)
+        qv /= qv.sum()
+        qdense = np.zeros(500, np.float32)
+        qdense[qw] = qv
+        common, scores = db._common_and_scores(qw, qv)
+        for k, v in enumerate(dense_rows):
+            expect = 1.0 - 0.5 * np.abs(qdense - v).sum()
+            np.testing.assert_allclose(scores[k], expect, atol=1e-6)
+            assert common[k] == ((v > 0) & (qdense > 0)).sum()
