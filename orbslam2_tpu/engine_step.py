@@ -135,8 +135,8 @@ def _rgbd_depth(dm, xy_raw, und_x, cam, H: int, W: int):
     static_argnames=("params", "cam", "sensor", "close_th", "depth_factor",
                      "log_scale"))
 def track_frame_full(img, aux, T_pred, T_last,
-                     last_pt, last_xy, last_desc, last_octave, last_patch,
-                     last_valid, last_depth, tmp_enable,
+                     last_pt, last_xy, last_desc, last_octave, last_angle,
+                     last_patch, last_valid, last_depth, tmp_enable,
                      m_xyz, m_desc, m_patch, m_normal, m_mind, m_maxd, m_valid,
                      lp_ids, lp_mask, lp_radius_th, sf, sig2,
                      params: OrbParams, cam, sensor: str,
@@ -197,9 +197,9 @@ def track_frame_full(img, aux, T_pred, T_last,
 
     th = 7.0 if sensor != "mono" else 15.0
     res_mm, n_mm = FM.motion_model_core(
-        T_pred, mm_xyz, mm_ok, mm_desc, last_octave,
-        xy_und, feats.octave, feats.desc, feats.valid, sf,
-        cam.fx, cam.fy, cam.cx, cam.cy, th)
+        T_pred, mm_xyz, mm_ok, mm_desc, last_octave, last_angle,
+        xy_und, feats.octave, feats.desc, feats.valid, feats.angle, ur, sf,
+        cam.fx, cam.fy, cam.cx, cam.cy, cam.bf, th)
 
     # keypoint-side binding: kp -> last-frame slot
     tgt = jnp.where(res_mm.idx >= 0, res_mm.idx, N)
@@ -243,8 +243,8 @@ def track_frame_full(img, aux, T_pred, T_last,
     res_lp, in_frustum = FM.local_points_core(
         opt1.T, m_xyz[lpc], lp_ok, m_desc[lpc], m_normal[lpc],
         m_mind[lpc], m_maxd[lpc], already,
-        xy1, feats.octave, feats.desc, feats.valid & ~bound1, sf,
-        cam.fx, cam.fy, cam.cx, cam.cy, W, H,
+        xy1, feats.octave, feats.desc, feats.valid & ~bound1, ur, sf,
+        cam.fx, cam.fy, cam.cx, cam.cy, cam.bf, W, H,
         params.n_levels, log_scale, lp_radius_th)
     P = lp_ids.shape[0]
     tgt2 = jnp.where(res_lp.idx >= 0, res_lp.idx, N)

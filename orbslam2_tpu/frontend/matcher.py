@@ -26,12 +26,14 @@ from ..ops import matching as M
 BIG = M.BIG
 
 
-def motion_model_core(T, pts_xyz, pt_valid, pt_desc, pt_last_octave,
-                      kp_xy, kp_octave, kp_desc, kp_valid, scale_factors,
-                      fx, fy, cx, cy, radius_th):
+def motion_model_core(T, pts_xyz, pt_valid, pt_desc, pt_last_octave, pt_angle,
+                      kp_xy, kp_octave, kp_desc, kp_valid, kp_angle, kp_ur,
+                      scale_factors, fx, fy, cx, cy, bf, radius_th):
     """Traced core of the motion-model search: project last frame's points
     with the predicted pose and match around the projections (radius
-    th * scale(last octave), level window — src/ORBmatcher.cpp:1627-1634).
+    th * scale(last octave), level window — src/ORBmatcher.cpp:1627-1634),
+    with the stereo right-u agreement gate (:1636-1642) and the rotation-
+    histogram consistency check (:1672-1696).
 
     Computes the Hamming matrix ONCE and evaluates both the base radius and
     the 2x widened retry (src/Tracking.cpp:1192-1196), selecting the widened
@@ -41,20 +43,26 @@ def motion_model_core(T, pts_xyz, pt_valid, pt_desc, pt_last_octave,
     pc = pts_xyz @ R.T + t
     z = pc[:, 2]
     ok = pt_valid & (z > 0.1)
-    uv = jnp.stack([fx * pc[:, 0] / jnp.maximum(z, 1e-6) + cx,
-                    fy * pc[:, 1] / jnp.maximum(z, 1e-6) + cy], -1)
+    iz = 1.0 / jnp.maximum(z, 1e-6)
+    uv = jnp.stack([fx * pc[:, 0] * iz + cx, fy * pc[:, 1] * iz + cy], -1)
+    ur_pred = uv[:, 0] - bf * iz
     sf = jnp.asarray(scale_factors)
     r_base = sf[jnp.clip(pt_last_octave, 0, sf.shape[0] - 1)] * radius_th
     duv_x = jnp.abs(uv[:, 0:1] - kp_xy[None, :, 0])
     duv_y = jnp.abs(uv[:, 1:2] - kp_xy[None, :, 1])
+    dur = jnp.abs(ur_pred[:, None] - kp_ur[None, :])
     lv_ok = (kp_octave[None, :] >= pt_last_octave[:, None] - 1) & (
         kp_octave[None, :] <= pt_last_octave[:, None] + 1)
     base = lv_ok & ok[:, None] & kp_valid[None, :]
     dist = M.hamming_matrix(pt_desc, kp_desc)
 
     def at_radius(r):
-        cand = base & (duv_x <= r[:, None]) & (duv_y <= r[:, None])
+        cand = base & (duv_x <= r[:, None]) & (duv_y <= r[:, None]) & (
+            (kp_ur[None, :] < 0) | (dur <= r[:, None]))
         res = M.masked_best_match(dist, cand, M.TH_HIGH, 0.9)
+        rot_ok = M.rotation_consistency(pt_angle, kp_angle, res.idx, res.valid)
+        res = M.MatchResult(jnp.where(rot_ok, res.idx, -1),
+                            jnp.where(rot_ok, res.dist, BIG))
         res = M.resolve_duplicate_targets(res, kp_xy.shape[0])
         return res, jnp.sum(res.idx >= 0)
 
@@ -66,32 +74,39 @@ def motion_model_core(T, pts_xyz, pt_valid, pt_desc, pt_last_octave,
     return res, jnp.where(wide, n_w, n_n)
 
 
-@functools.partial(jax.jit, static_argnames=("fx", "fy", "cx", "cy", "radius_th",
-                                             "n_levels", "log_scale"))
-def match_motion_model(T, pts_xyz, pt_valid, pt_desc, pt_last_octave,
-                       kp_xy, kp_octave, kp_desc, kp_valid, scale_factors,
-                       fx: float, fy: float, cx: float, cy: float,
-                       radius_th: float, n_levels: int, log_scale: float):
+@functools.partial(jax.jit, static_argnames=("fx", "fy", "cx", "cy", "bf",
+                                             "radius_th", "n_levels",
+                                             "log_scale"))
+def match_motion_model(T, pts_xyz, pt_valid, pt_desc, pt_last_octave, pt_angle,
+                       kp_xy, kp_octave, kp_desc, kp_valid, kp_angle, kp_ur,
+                       scale_factors, fx: float, fy: float, cx: float,
+                       cy: float, bf: float, radius_th: float, n_levels: int,
+                       log_scale: float):
     """Single-radius motion-model search (the standalone per-stage dispatch;
     the fused frame program uses motion_model_core's dual-radius form)."""
     R, t = T[:, :3], T[:, 3]
     pc = pts_xyz @ R.T + t
     z = pc[:, 2]
     ok = pt_valid & (z > 0.1)
-    uv = jnp.stack([fx * pc[:, 0] / jnp.maximum(z, 1e-6) + cx,
-                    fy * pc[:, 1] / jnp.maximum(z, 1e-6) + cy], -1)
+    iz = 1.0 / jnp.maximum(z, 1e-6)
+    uv = jnp.stack([fx * pc[:, 0] * iz + cx, fy * pc[:, 1] * iz + cy], -1)
+    ur_pred = uv[:, 0] - bf * iz
     res = M.search_by_projection(
         uv, pt_last_octave, jnp.full(pts_xyz.shape[0], radius_th), pt_desc, ok,
         kp_xy, kp_octave, kp_desc, kp_valid, scale_factors,
-        max_dist=M.TH_HIGH, ratio=0.9, level_window=(-1, 1))
+        max_dist=M.TH_HIGH, ratio=0.9, level_window=(-1, 1),
+        pt_ur=ur_pred, kp_ur=kp_ur)
+    rot_ok = M.rotation_consistency(pt_angle, kp_angle, res.idx, res.valid)
+    res = M.MatchResult(jnp.where(rot_ok, res.idx, -1),
+                        jnp.where(rot_ok, res.dist, BIG))
     return M.resolve_duplicate_targets(res, kp_xy.shape[0])
 
 
 def local_points_core(T, pts_xyz, pt_valid, pt_desc, pt_normal,
                       pt_min_dist, pt_max_dist, already_matched,
-                      kp_xy, kp_octave, kp_desc, kp_valid, scale_factors,
-                      fx, fy, cx, cy, width, height, n_levels,
-                      log_scale, radius_th):
+                      kp_xy, kp_octave, kp_desc, kp_valid, kp_ur,
+                      scale_factors, fx, fy, cx, cy, bf, width, height,
+                      n_levels, log_scale, radius_th):
     """Traced core of the local-map search (radius_th may be a traced
     scalar — the fused frame program passes the lost-state widening as
     data, not as a recompile)."""
@@ -99,8 +114,9 @@ def local_points_core(T, pts_xyz, pt_valid, pt_desc, pt_normal,
     pc = pts_xyz @ R.T + t
     z = pc[:, 2]
     z_ok = z > 0.1
-    uv = jnp.stack([fx * pc[:, 0] / jnp.maximum(z, 1e-6) + cx,
-                    fy * pc[:, 1] / jnp.maximum(z, 1e-6) + cy], -1)
+    iz = 1.0 / jnp.maximum(z, 1e-6)
+    uv = jnp.stack([fx * pc[:, 0] * iz + cx, fy * pc[:, 1] * iz + cy], -1)
+    ur_pred = uv[:, 0] - bf * iz
     in_img = (uv[:, 0] >= 0) & (uv[:, 0] < width) & (uv[:, 1] >= 0) & (uv[:, 1] < height)
     Ow = -R.T @ t
     po = pts_xyz - Ow[None]
@@ -121,27 +137,30 @@ def local_points_core(T, pts_xyz, pt_valid, pt_desc, pt_normal,
     res = M.search_by_projection(
         uv, pred, radius, pt_desc, in_frustum & ~already_matched,
         kp_xy, kp_octave, kp_desc, kp_valid, scale_factors,
-        max_dist=M.TH_HIGH, ratio=0.8, level_window=(-1, 0))
+        max_dist=M.TH_HIGH, ratio=0.8, level_window=(-1, 0),
+        pt_ur=ur_pred, kp_ur=kp_ur)
     return M.resolve_duplicate_targets(res, kp_xy.shape[0]), in_frustum
 
 
-@functools.partial(jax.jit, static_argnames=("fx", "fy", "cx", "cy", "width",
-                                             "height", "n_levels", "log_scale",
-                                             "radius_th"))
+@functools.partial(jax.jit, static_argnames=("fx", "fy", "cx", "cy", "bf",
+                                             "width", "height", "n_levels",
+                                             "log_scale", "radius_th"))
 def match_local_points(T, pts_xyz, pt_valid, pt_desc, pt_normal,
                        pt_min_dist, pt_max_dist, already_matched,
-                       kp_xy, kp_octave, kp_desc, kp_valid, scale_factors,
-                       fx: float, fy: float, cx: float, cy: float,
-                       width: int, height: int, n_levels: int,
-                       log_scale: float, radius_th: float = 1.0):
+                       kp_xy, kp_octave, kp_desc, kp_valid, kp_ur,
+                       scale_factors, fx: float, fy: float, cx: float,
+                       cy: float, bf: float, width: int, height: int,
+                       n_levels: int, log_scale: float,
+                       radius_th: float = 1.0):
     """Frustum-filter local map points and match them into the frame.
 
     Returns (MatchResult pt->kp, in_frustum mask) — the in_frustum mask
     drives IncreaseVisible (src/Tracking.cpp:1592-1616)."""
     return local_points_core(
         T, pts_xyz, pt_valid, pt_desc, pt_normal, pt_min_dist, pt_max_dist,
-        already_matched, kp_xy, kp_octave, kp_desc, kp_valid, scale_factors,
-        fx, fy, cx, cy, width, height, n_levels, log_scale, radius_th)
+        already_matched, kp_xy, kp_octave, kp_desc, kp_valid, kp_ur,
+        scale_factors, fx, fy, cx, cy, bf, width, height, n_levels,
+        log_scale, radius_th)
 
 
 @jax.jit

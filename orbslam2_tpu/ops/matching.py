@@ -122,7 +122,8 @@ def search_by_projection(proj_uv, pred_level, radius, pt_desc, pt_valid,
                          kp_xy, kp_octave, kp_desc, kp_valid,
                          scale_factors, max_dist: int = TH_HIGH,
                          ratio: float | None = 0.8,
-                         level_window: tuple[int, int] = (-1, 1)) -> MatchResult:
+                         level_window: tuple[int, int] = (-1, 1),
+                         pt_ur=None, kp_ur=None) -> MatchResult:
     """Project-and-match: map points (rows) vs frame keypoints (cols).
 
     proj_uv: [P, 2] projected pixel positions of points (undistorted coords)
@@ -132,6 +133,9 @@ def search_by_projection(proj_uv, pred_level, radius, pt_desc, pt_valid,
         src/ORBmatcher.cpp:166-172); effective radius *= scale(pred_level)
     level_window: keypoint octave must be within [pred+lo, pred+hi]
         (src/ORBmatcher.cpp:96-97 via GetFeaturesInArea level bounds)
+    pt_ur/kp_ur: predicted vs measured right-u; stereo keypoints must also
+        agree in the right image, |pt_ur - kp_ur| <= r_eff
+        (src/ORBmatcher.cpp:123-129)
 
     Returns per-point best keypoint match.
     """
@@ -145,6 +149,10 @@ def search_by_projection(proj_uv, pred_level, radius, pt_desc, pt_valid,
         kp_octave[None, :] <= pred_level[:, None] + level_window[1]
     )
     cand = within & lv_ok & pt_valid[:, None] & kp_valid[None, :]
+    if pt_ur is not None and kp_ur is not None:
+        er_ok = (kp_ur[None, :] < 0) | (
+            jnp.abs(pt_ur[:, None] - kp_ur[None, :]) <= r_eff[:, None])
+        cand = cand & er_ok
     dist = hamming_matrix(pt_desc, kp_desc)
     return masked_best_match(dist, cand, max_dist, ratio)
 

@@ -451,11 +451,12 @@ class Tracker:
                 jnp.asarray(pts_xyz),
                 jnp.asarray(ok),
                 jnp.asarray(pt_desc),
-                jnp.asarray(last.octave),
+                jnp.asarray(last.octave), jnp.asarray(last.angle),
                 jnp.asarray(frame.xy), jnp.asarray(frame.octave),
                 jnp.asarray(frame.desc), jnp.asarray(frame.valid),
+                jnp.asarray(frame.angle), jnp.asarray(frame.ur),
                 jnp.asarray(self.sf),
-                cam.fx, cam.fy, cam.cx, cam.cy, float(radius_th),
+                cam.fx, cam.fy, cam.cx, cam.cy, cam.bf, float(radius_th),
                 self.cfg.orb.n_levels, float(np.log(self.cfg.orb.scale_factor)))
             midx = _np(res.idx)
             n = int((midx >= 0).sum())
@@ -559,6 +560,7 @@ class Tracker:
             self._last_dev = dict(
                 xy=jnp.asarray(last.xy), desc=jnp.asarray(last.desc),
                 octave=jnp.asarray(last.octave),
+                angle=jnp.asarray(last.angle),
                 # u8 on the wire (the program casts; matches map storage)
                 patch=jnp.asarray(
                     np.clip(np.round(patch), 0, 255).astype(np.uint8)),
@@ -617,7 +619,8 @@ class Tracker:
         out = ES.track_frame_full(
             img_dev, aux, jnp.asarray(T_pred), jnp.asarray(last.pose),
             jnp.asarray(last.pt_idx), ld["xy"], ld["desc"], ld["octave"],
-            ld["patch"], ld["valid"], ld["depth"], jnp.asarray(tmp_enable),
+            ld["angle"], ld["patch"], ld["valid"], ld["depth"],
+            jnp.asarray(tmp_enable),
             *self._mirror, jnp.asarray(lp_pad), jnp.asarray(pvalid),
             jnp.float32(3.0 if self.n_lost_frames > 0 else 1.0),
             self._sf_dev, self._sig2_dev,
@@ -718,8 +721,8 @@ class Tracker:
             # (cheap on-device slices of the packed outputs; no host hop)
             self._last_dev = dict(
                 xy=out.fmat[:, 0:2], desc=out.desc, octave=out.imat[:, 0],
-                patch=out.patch, valid=out.imat[:, 4] != 0,
-                depth=out.fmat[:, 8])
+                angle=out.fmat[:, 9], patch=out.patch,
+                valid=out.imat[:, 4] != 0, depth=out.fmat[:, 8])
             self._last_dev_frame_id = frame.frame_id
         else:
             self._last_dev = None
@@ -788,7 +791,8 @@ class Tracker:
             jnp.asarray(mp.pt_max_dist[lp_pad]), jnp.asarray(already),
             jnp.asarray(frame.xy), jnp.asarray(frame.octave),
             jnp.asarray(frame.desc), jnp.asarray(frame.valid),
-            jnp.asarray(self.sf), cam.fx, cam.fy, cam.cx, cam.cy,
+            jnp.asarray(frame.ur),
+            jnp.asarray(self.sf), cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
             cam.width, cam.height, self.cfg.orb.n_levels,
             float(np.log(self.cfg.orb.scale_factor)), float(th))
         midx = _np(res.idx)
@@ -863,10 +867,13 @@ class Tracker:
             frame.pose = mp.kf_pose[k].copy()
 
     def _spawn_depth_points(self, frame: Frame, k: int):
-        close = (frame.depth > 0) & (frame.depth < self.cfg.close_depth_threshold) \
-            & frame.valid & (frame.pt_idx < 0)
-        ids = np.flatnonzero(close)
-        # reference inserts the 100 closest even beyond threshold (:1477-1487)
+        has_depth = (frame.depth > 0) & frame.valid & (frame.pt_idx < 0)
+        close = has_depth & (frame.depth < self.cfg.close_depth_threshold)
+        # the reference sorts candidates by depth and inserts every close one
+        # PLUS the 100 nearest even beyond ThDepth (src/Tracking.cpp:1477-1487)
+        cand = np.flatnonzero(has_depth)
+        order = cand[np.argsort(frame.depth[cand])]
+        ids = order[close[order] | (np.arange(len(order)) < 100)]
         if len(ids) == 0:
             return
         cam = self.cfg.camera

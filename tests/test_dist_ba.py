@@ -81,3 +81,16 @@ class TestLargeScaleBA:
         assert bool(jnp.isfinite(res.cam_T).all())
         err = np.abs(np.asarray(res.cam_T) - cams_gt).max()
         assert err < 0.05, err
+
+    def test_point_blocks_sharded_and_collectives_lowered(self):
+        """SURVEY §2.4: point blocks (Hpp, back-substitution) shard across
+        the mesh — and the lowered program really communicates (contains
+        collective ops) instead of silently replicating."""
+        from orbslam2_tpu.parallel.dist_ba import lowered_collectives
+        prob, _, (fx, fy, cx, cy) = synth_problem()
+        mesh = make_mesh(8)
+        sp = shard_problem(prob, mesh)
+        assert not sp.pts.sharding.is_fully_replicated
+        assert len(sp.pts.sharding.device_set) == 8
+        colls = lowered_collectives(prob, mesh, fx, fy, cx, cy, 0.0)
+        assert colls, "no collectives in the sharded BA program"
