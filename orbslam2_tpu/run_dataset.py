@@ -8,7 +8,8 @@
     python -m orbslam2_tpu.run_dataset stereo_euroc <settings.yaml> <mav0_dir>
 
 Options: --out-dir DIR (trajectory outputs), --max-frames N,
---platform cpu|axon. Prints median/mean tracking time at the end (the
+--platform cpu|axon, --viewer (live HTTP map/frame viewer, the
+reference's Pangolin window). Prints median/mean tracking time at the end (the
 reference drivers' instrumentation, Examples/Monocular/mono_tum.cc:112-120)
 and saves CameraTrajectory/KeyFrameTrajectory files (System::Save*).
 """
@@ -40,6 +41,9 @@ def main(argv=None):
         i = argv.index("--out-dir"); out_dir = Path(argv[i + 1]); del argv[i:i + 2]
     if "--max-frames" in argv:
         i = argv.index("--max-frames"); max_frames = int(argv[i + 1]); del argv[i:i + 2]
+    use_viewer = "--viewer" in argv
+    if use_viewer:
+        argv.remove("--viewer")
     if len(argv) < 3 or argv[0] not in MODES:
         print(__doc__)
         return 2
@@ -58,7 +62,7 @@ def main(argv=None):
     sensor_name, loader = MODES[mode]
     sensor = Sensor[sensor_name]
     cfg = load_settings(settings, sensor)
-    slam = System(cfg)
+    slam = System(cfg, use_viewer=use_viewer)
 
     if loader == "tum_mono":
         it = D.iter_tum_mono(seq)

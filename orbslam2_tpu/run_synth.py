@@ -19,6 +19,9 @@ def main(argv=None):
         i = argv.index("--platform")
         platform = argv[i + 1]
         del argv[i:i + 2]
+    use_viewer = "--viewer" in argv
+    if use_viewer:
+        argv.remove("--viewer")
     import jax
     jax.config.update("jax_platforms", platform)
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
@@ -41,7 +44,7 @@ def main(argv=None):
         k1=0.0, k2=0.0, p1=0.0, p2=0.0, k3=0.0,
         width=scene.width, height=scene.height)
 
-    slam = System(cfg)
+    slam = System(cfg, use_viewer=use_viewer)
     times = []
     for i in range(n_frames):
         img = synth.render_room(scene, gt[i], seed=i)
@@ -55,6 +58,7 @@ def main(argv=None):
               f"{'pose ok' if pose is not None else 'no pose'}  "
               f"{times[-1]*1e3:6.1f} ms", flush=True)
 
+    slam.shutdown()  # drain mapping queue / background GBA, stop viewer
     ts, est = slam.tracker.trajectory()
     if len(est) >= 10:
         frame_ids = np.round(np.asarray(ts) * 30.0).astype(int)

@@ -40,7 +40,8 @@ DEFAULT_VOCAB = Path(__file__).parent / "data" / "vocab_default.npz"
 
 class System:
     def __init__(self, cfg: SlamConfig, async_mapping: bool = False,
-                 vocabulary: Vocabulary | str | None = None):
+                 vocabulary: Vocabulary | str | None = None,
+                 use_viewer: bool = False, viewer_port: int = 0):
         self.cfg = cfg
         n_feat = padded_capacity(
             cfg.orb.n_features * (2 if cfg.sensor == Sensor.MONOCULAR else 1))
@@ -75,6 +76,15 @@ class System:
             self._queue = queue.Queue(maxsize=3)
             self._worker = threading.Thread(target=self._mapping_loop, daemon=True)
             self._worker.start()
+        # optional live viewer thread (System ctor bUseViewer,
+        # src/System.cpp:111-114)
+        self.viewer = None
+        self._reset_pending = False
+        if use_viewer:
+            from .viz.live_viewer import LiveViewer
+            self.viewer = LiveViewer(self, port=viewer_port)
+            print(f"[viewer] http://{self.viewer.host}:{self.viewer.port}/",
+                  flush=True)
 
     # --------------------------------------------------------------- pipeline
     def _mapper_proxy(self):
@@ -106,26 +116,38 @@ class System:
     # ------------------------------------------------------------- public API
     def track_monocular(self, img: np.ndarray, timestamp: float):
         assert self.cfg.sensor == Sensor.MONOCULAR
+        gray = self._gray(img)
         return self._tracked(timestamp, lambda: self.tracker.process_image(
-            self._gray(img), timestamp))
+            gray, timestamp), viewer_img=gray)
 
     def track_rgbd(self, img: np.ndarray, depth: np.ndarray, timestamp: float):
         assert self.cfg.sensor == Sensor.RGBD
+        gray = self._gray(img)
         return self._tracked(timestamp, lambda: self.tracker.process_image(
-            self._gray(img), timestamp, depth_map=depth))
+            gray, timestamp, depth_map=depth), viewer_img=gray)
 
     def track_stereo(self, left: np.ndarray, right: np.ndarray,
                      timestamp: float):
         assert self.cfg.sensor == Sensor.STEREO
+        gray = self._gray(left)
         return self._tracked(timestamp, lambda: self.tracker.process_image(
-            self._gray(left), timestamp, right_img=self._gray(right)))
+            gray, timestamp, right_img=self._gray(right)), viewer_img=gray)
 
-    def _tracked(self, timestamp: float, fn):
+    def _tracked(self, timestamp: float, fn, viewer_img=None):
         import time as _t
+        if self._reset_pending:
+            # reset requested off-thread (viewer menu): apply it here on
+            # the tracking thread, the reference's mbReset handshake
+            # (src/System.cpp:255-262)
+            self._reset_pending = False
+            self.reset()
         kfs_before = self.map.n_keyframes
         t0 = _t.perf_counter()
         pose = fn()
         dt = (_t.perf_counter() - t0) * 1e3
+        if self.viewer is not None and viewer_img is not None \
+                and self.tracker.last_frame is not None:
+            self.viewer.update(viewer_img, self.tracker.last_frame)
         self.metrics.append(
             frame_id=len(self.metrics.records), timestamp=timestamp,
             state=self.tracker.state.name,
@@ -147,10 +169,12 @@ class System:
         tracked = 0
         n = 0
         for ts, data in frames:
+            gray = self._gray(data["image"])
             pose = self._tracked(ts, lambda: self.tracker.process_image(
-                self._gray(data["image"]), ts,
+                gray, ts,
                 depth_map=data.get("depth"),
-                right_img=(self._gray(data["right"]) if "right" in data else None)))
+                right_img=(self._gray(data["right"]) if "right" in data else None)),
+                viewer_img=gray)
             tracked += int(pose is not None)
             n += 1
             if progress_every and n % progress_every == 0:
@@ -192,10 +216,19 @@ class System:
     def shutdown(self):
         """System::Shutdown (src/System.cpp:285): drain the mapping queue
         and wait for a running global BA, applying its result."""
+        if self.viewer is not None:
+            self.viewer.stop()
+            self.viewer = None
         if self._async and self._queue is not None:
             self._queue.put(None)
             self._worker.join(timeout=30)
         self.global_ba.wait_and_apply()
+
+    def request_reset(self):
+        """Off-thread reset request (viewer menu / System::Reset flag,
+        src/System.cpp:279): applied on the tracking thread at the next
+        track_* call."""
+        self._reset_pending = True
 
     def reset(self):
         """System::Reset (src/System.cpp:279; Tracking::Reset :2030)."""

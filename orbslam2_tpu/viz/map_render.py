@@ -12,10 +12,14 @@ import numpy as np
 
 
 def render_map_topdown(mp, trajectory=None, path="map.png",
-                       axes=(0, 2), show_covisibility=True):
+                       axes=(0, 2), show_covisibility=True,
+                       show_points=True, center=None, span=6.0):
     """Top-down (x-z by default) map plot.
 
     mp: MapState; trajectory: optional [F, 3, 4] Tcw frame poses.
+    path: filename or binary file-like object (live viewer).
+    center: optional world point to center the view on (the Viewer's
+    "follow camera" mode, src/Viewer.cpp:128-138) with half-extent `span`.
     """
     import matplotlib
     matplotlib.use("Agg")
@@ -24,7 +28,7 @@ def render_map_topdown(mp, trajectory=None, path="map.png",
     a, b = axes
     fig, ax = plt.subplots(figsize=(9, 9))
     pts = mp.pt_xyz[mp.pt_valid]
-    if len(pts):
+    if show_points and len(pts):
         ax.scatter(pts[:, a], pts[:, b], s=1, c="#777777", alpha=0.4,
                    label=f"{len(pts)} points")
     kf_ids = mp.kf_ids
@@ -55,10 +59,13 @@ def render_map_topdown(mp, trajectory=None, path="map.png",
         C = np.stack([-T[:, :3].T @ T[:, 3] for T in trajectory])
         ax.plot(C[:, a], C[:, b], c="tab:red", lw=1.2, label="trajectory")
     ax.set_aspect("equal")
+    if center is not None:
+        ax.set_xlim(center[a] - span, center[a] + span)
+        ax.set_ylim(center[b] - span, center[b] + span)
     ax.legend(loc="upper right", fontsize=8)
     ax.set_xlabel("xyz"[a])
     ax.set_ylabel("xyz"[b])
-    fig.savefig(path, dpi=110, bbox_inches="tight")
+    fig.savefig(path, dpi=110, bbox_inches="tight", format="png")
     plt.close(fig)
     return path
 
@@ -81,6 +88,6 @@ def render_frame_overlay(img, frame, path="frame.png"):
     ax.set_title(f"frame {frame.frame_id}: {tracked.sum()} tracked / "
                  f"{v.sum()} keypoints")
     ax.axis("off")
-    fig.savefig(path, dpi=100, bbox_inches="tight")
+    fig.savefig(path, dpi=100, bbox_inches="tight", format="png")
     plt.close(fig)
     return path
