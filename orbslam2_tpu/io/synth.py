@@ -91,7 +91,10 @@ class RoomScene:
     (the square-sprite scene above quantizes to the pixel grid and its
     repeated corners alias descriptors)."""
 
-    planes: list  # (origin, normal, bu, bv, texture, tex_scale)
+    planes: list  # (origin, normal, bu, bv, texture, tex_scale[, extent])
+    # extent (optional 7th element) = (umin, umax, vmin, vmax) bounds in
+    # plane-local meters along (bu, bv): finite wall panels, which make
+    # non-convex environments (corridor circuits) renderable
     K: np.ndarray
     width: int
     height: int
@@ -111,10 +114,18 @@ class RoomScene:
         dirs = dirs_cam @ Rwc.T
         best_t = np.full((H, W), np.inf, np.float64)
         best_i = np.full((H, W), -1, np.int32)
-        for i, (o, n, bu, bv, tex, sc) in enumerate(self.planes):
+        for i, p in enumerate(self.planes):
+            o, n, bu, bv, tex, sc = p[:6]
+            ext = p[6] if len(p) > 6 else None
             denom = dirs @ n
             tt = ((o - C) @ n) / np.where(np.abs(denom) > 1e-9, denom, 1e-9)
             hit = (tt > 0.3) & (np.abs(denom) > 1e-9)
+            if ext is not None:
+                X = C[None, None, :] + tt[..., None] * dirs
+                lu = (X - o) @ bu
+                lv = (X - o) @ bv
+                hit &= ((lu >= ext[0]) & (lu <= ext[1])
+                        & (lv >= ext[2]) & (lv <= ext[3]))
             # depth along camera z = t * dir_cam_z (dir_cam z = 1) => t is
             # the z-depth scale directly since dirs_cam[...,2]=1
             closer = hit & (tt < best_t)
@@ -190,10 +201,77 @@ def make_room(seed=0, width=640, height=480, fx=500.0, fy=500.0,
     return RoomScene(planes, K, width, height)
 
 
+def make_corridor(seed=0, width=640, height=480, fx=500.0, fy=500.0,
+                  outer=10.0, inner=5.0, half_h=2.0) -> RoomScene:
+    """Square corridor circuit: an outer box (|x|,|z| <= outer) minus an
+    inner box (|x|,|z| <= inner), textured walls + floor + ceiling. Unlike
+    a single room, a camera travelling the circuit loses sight of early
+    landmarks for most of the lap, so odometry drift ACCUMULATES — the
+    loop-closure workload the reference is evaluated on (KITTI circuits).
+    Requires finite plane extents (non-convex environment)."""
+    rng = np.random.default_rng(seed)
+    K = np.array([[fx, 0, width / 2], [0, fy, height / 2], [0, 0, 1]],
+                 np.float32)
+    ex = lambda half: (-half, half, -half_h, half_h)
+    planes = []
+    Y = np.array([0.0, 1.0, 0.0])
+    # outer walls (normals point inward), finite panels
+    for sgn in (-1.0, 1.0):
+        # x = ±outer
+        planes.append((np.array([sgn * outer, 0.0, 0.0]),
+                       np.array([-sgn, 0.0, 0.0]),
+                       np.array([0.0, 0.0, 1.0]), Y,
+                       _corner_texture(rng), 45.0, ex(outer)))
+        # z = ±outer
+        planes.append((np.array([0.0, 0.0, sgn * outer]),
+                       np.array([0.0, 0.0, -sgn]),
+                       np.array([1.0, 0.0, 0.0]), Y,
+                       _corner_texture(rng), 45.0, ex(outer)))
+        # inner walls (normals point outward into the corridor)
+        planes.append((np.array([sgn * inner, 0.0, 0.0]),
+                       np.array([sgn, 0.0, 0.0]),
+                       np.array([0.0, 0.0, 1.0]), Y,
+                       _corner_texture(rng), 60.0, ex(inner)))
+        planes.append((np.array([0.0, 0.0, sgn * inner]),
+                       np.array([0.0, 0.0, sgn]),
+                       np.array([1.0, 0.0, 0.0]), Y,
+                       _corner_texture(rng), 60.0, ex(inner)))
+    # floor (y = +half_h) and ceiling (y = -half_h)
+    planes.append((np.array([0.0, half_h, 0.0]), np.array([0.0, -1.0, 0.0]),
+                   np.array([1.0, 0.0, 0.0]), np.array([0.0, 0.0, 1.0]),
+                   _corner_texture(rng), 45.0,
+                   (-outer, outer, -outer, outer)))
+    planes.append((np.array([0.0, -half_h, 0.0]), np.array([0.0, 1.0, 0.0]),
+                   np.array([1.0, 0.0, 0.0]), np.array([0.0, 0.0, 1.0]),
+                   _corner_texture(rng), 45.0,
+                   (-outer, outer, -outer, outer)))
+    return RoomScene(planes, K, width, height)
+
+
+def corridor_trajectory(n_frames: int, radius=8.0, laps=1.0):
+    """Circular circuit of `radius` inside the corridor, camera facing its
+    direction of travel (tangent): the classic revisit-after-a-lap
+    loop-closure trajectory. Returns [F, 3, 4] Tcw."""
+    poses = []
+    for i in range(n_frames):
+        th = 2.0 * np.pi * laps * i / max(n_frames - 1, 1)
+        c, s = np.cos(th), np.sin(th)
+        C = np.array([radius * s, 0.015 * np.sin(th * 5), radius * c])
+        z_cam = np.array([c, 0.0, -s])          # tangent (direction of travel)
+        y_cam = np.array([0.0, 1.0, 0.0])
+        x_cam = np.cross(y_cam, z_cam)
+        Rwc = np.stack([x_cam, y_cam, z_cam], axis=1)
+        Rcw = Rwc.T
+        tcw = -Rcw @ C
+        poses.append(np.hstack([Rcw, tcw[:, None]]).astype(np.float32))
+    return np.stack(poses)
+
+
 def render_room(scene: RoomScene, Tcw: np.ndarray, noise=1.0, seed=0):
     best_i, best_t, C, dirs = scene.ray_depths(Tcw)
     img = np.full((scene.height, scene.width), 90.0, np.float32)
-    for i, (o, n, bu, bv, tex, sc) in enumerate(scene.planes):
+    for i, p in enumerate(scene.planes):
+        o, n, bu, bv, tex, sc = p[:6]
         m = best_i == i
         if not m.any():
             continue
