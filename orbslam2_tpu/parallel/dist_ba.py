@@ -66,13 +66,23 @@ def shard_problem(p: BA.BAProblem, mesh: Mesh, axis: str = "data") -> BA.BAProbl
     return BA.BAProblem(*(jax.device_put(x, s) for x, s in zip(p, sh)))
 
 
+def _mesh_ctx(mesh: Mesh):
+    """Mesh context across jax versions: use_mesh (<=0.8) / set_mesh (0.9+).
+    The solve is still correct without it — the device_put input shardings
+    alone make GSPMD communicate (lowered_collectives asserts so) — but the
+    context lets the compiler see the mesh for sharding-in-types."""
+    if hasattr(jax.sharding, "use_mesh"):
+        return jax.sharding.use_mesh(mesh)
+    return jax.set_mesh(mesh)
+
+
 def dist_ba_solve(p: BA.BAProblem, mesh: Mesh, fx, fy, cx, cy, bf,
                   iters1: int = 5, iters2: int = 10, cg_iters: int = 24,
                   axis: str = "data") -> BA.BAResult:
     """Solve BA with edges + point blocks sharded over the mesh. Single-chip
     calls work too (mesh of one device)."""
     p = shard_problem(p, mesh, axis)
-    with jax.sharding.use_mesh(mesh) if hasattr(jax.sharding, "use_mesh") else _null():
+    with _mesh_ctx(mesh):
         return BA.ba_solve(p, fx, fy, cx, cy, bf,
                            iters1=iters1, iters2=iters2, cg_iters=cg_iters)
 
@@ -95,10 +105,3 @@ def lowered_collectives(p: BA.BAProblem, mesh: Mesh, fx, fy, cx, cy, bf,
     names = ("all-reduce", "all-gather", "reduce-scatter", "collective-permute")
     return sorted({n for n in names if n in txt})
 
-
-class _null:
-    def __enter__(self):
-        return self
-
-    def __exit__(self, *a):
-        return False
