@@ -76,6 +76,42 @@ def make_sequence(N, seed=0):
     return scene, gt, seq
 
 
+def make_kitti_sequence(N, seed=0, baseline=0.5):
+    """Synthetic stereo sequence in KITTI odometry layout (image_0/,
+    image_1/, times.txt — Examples/Stereo/stereo_kitti.cpp LoadImages).
+    Right camera = left shifted +baseline along the camera x axis
+    (rectified pair, same intrinsics)."""
+    import cv2
+    scene = synth.make_room(seed=seed)
+    gt = synth.orbit_trajectory(N)
+    seq = WORK / "seq_kitti"
+    (seq / "image_0").mkdir(parents=True, exist_ok=True)
+    (seq / "image_1").mkdir(exist_ok=True)
+    times = []
+    for i in range(N):
+        left = synth.render_room(scene, gt[i], seed=i).astype(np.uint8)
+        Tr = gt[i].copy()
+        Tr[:, 3] = Tr[:, 3] - np.array([baseline, 0.0, 0.0], np.float32)
+        right = synth.render_room(scene, Tr, seed=10_000 + i).astype(np.uint8)
+        cv2.imwrite(str(seq / f"image_0/{i:06d}.png"), left)
+        cv2.imwrite(str(seq / f"image_1/{i:06d}.png"), right)
+        times.append(f"{i / 30.0:.6e}")
+    (seq / "times.txt").write_text("\n".join(times) + "\n")
+    return scene, gt, seq
+
+
+def load_kitti_traj(path):
+    """KITTI rows: 12 floats = row-major Rwc|twc (System::SaveTrajectoryKITTI,
+    src/System.cpp:456-458). Returns [M,3] camera centers in save order."""
+    rows = []
+    for line in Path(path).read_text().splitlines():
+        parts = line.split()
+        if len(parts) == 12:
+            rows.append([float(x) for x in parts])
+    arr = np.array(rows)
+    return arr[:, [3, 7, 11]] if len(arr) else np.zeros((0, 3))
+
+
 def make_vocab():
     """cv2-ORB descriptors from held-out renders -> DBoW2-format vocab."""
     import cv2
@@ -140,7 +176,8 @@ def gt_centers(gt, ts, fps=30.0):
 
 
 def run_reference(mode, voc, settings, seq):
-    exe = BUILD / ("rgbd_tum" if mode == "rgbd" else "mono_tum")
+    exe = BUILD / {"rgbd": "rgbd_tum", "mono": "mono_tum",
+                   "stereo": "stereo_kitti"}[mode]
     args = [str(exe), str(voc), str(settings), str(seq)]
     if mode == "rgbd":
         args.append(str(seq / "associations.txt"))
@@ -153,9 +190,15 @@ def run_reference(mode, voc, settings, seq):
     m = re.search(r"median tracking time[^\d]*([\d.]+)", out)
     if m:
         med = float(m.group(1))
-    traj_file = WORK / ("CameraTrajectory.txt" if mode == "rgbd"
-                        else "KeyFrameTrajectory.txt")
-    traj = load_tum_traj(traj_file) if traj_file.exists() else np.zeros((0, 8))
+    if mode == "stereo":
+        traj_file = WORK / "CameraTrajectory.txt"
+        traj = (load_kitti_traj(traj_file) if traj_file.exists()
+                else np.zeros((0, 3)))
+    else:
+        traj_file = WORK / ("CameraTrajectory.txt" if mode == "rgbd"
+                            else "KeyFrameTrajectory.txt")
+        traj = (load_tum_traj(traj_file) if traj_file.exists()
+                else np.zeros((0, 8)))
     return dict(median_track_s=med, wall_s=wall, traj=traj, rc=r.returncode,
                 tail=out.strip().splitlines()[-8:])
 
@@ -168,6 +211,9 @@ def run_ours(mode, settings, seq, platform="cpu"):
         rc = run_main(["rgbd_tum", str(settings), str(seq),
                        str(seq / "associations.txt"), "--out-dir", str(out),
                        "--platform", platform])
+    elif mode == "stereo":
+        rc = run_main(["stereo_kitti", str(settings), str(seq),
+                       "--out-dir", str(out), "--platform", platform])
     else:
         rc = run_main(["mono_tum", str(settings), str(seq),
                        "--out-dir", str(out), "--platform", platform])
@@ -180,27 +226,38 @@ def run_ours(mode, settings, seq, platform="cpu"):
     return dict(wall_s=wall, traj=traj, rc=rc, metrics=metrics)
 
 
-def main(N=90):
+def main(N=90, modes=("rgbd", "mono", "stereo")):
     WORK.mkdir(exist_ok=True)
     scene, gt, seq = make_sequence(N)
+    _, gt_k, seq_k = make_kitti_sequence(N)
     voc = make_vocab()
     settings = write_settings()
     results = {}
-    for mode in ("rgbd", "mono"):
+    for mode in modes:
         print(f"== reference {mode} ==")
-        ref = run_reference(mode, voc, settings, seq)
+        g, s = (gt_k, seq_k) if mode == "stereo" else (gt, seq)
+        ref = run_reference(mode, voc, settings, s)
         print("\n".join(ref["tail"]))
-        ours = run_ours(mode, settings, seq)
+        ours = run_ours(mode, settings, s)
         with_scale = mode == "mono"
         row = {}
         for name, r in (("reference", ref), ("ours", ours)):
             traj = r["traj"]
-            if len(traj) >= 5:
+            if name == "reference" and mode == "stereo":
+                # KITTI rows carry no timestamps; rows are tracked frames
+                # in order (lost frames skipped — compare only on a full run)
+                if len(traj) == N:
+                    ate = ate_rmse(traj, camera_centers(g), with_scale=False)
+                else:
+                    ate = float("nan")
+                n_poses = len(traj)
+            elif len(traj) >= 5:
                 ts, C = traj_to_centers(traj)
-                ate = ate_rmse(C, gt_centers(gt, ts), with_scale=with_scale)
+                ate = ate_rmse(C, gt_centers(g, ts), with_scale=with_scale)
+                n_poses = len(traj)
             else:
-                ate = float("nan")
-            row[name] = dict(ate_m=float(ate), n_poses=len(traj),
+                ate, n_poses = float("nan"), len(traj)
+            row[name] = dict(ate_m=float(ate), n_poses=n_poses,
                              wall_s=r["wall_s"],
                              median_track_s=r.get("median_track_s"))
         results[mode] = row
@@ -210,4 +267,9 @@ def main(N=90):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 90)
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    kw = {}
+    for a in sys.argv[1:]:
+        if a.startswith("--modes="):
+            kw["modes"] = tuple(a.split("=", 1)[1].split(","))
+    main(int(args[0]) if args else 90, **kw)
