@@ -99,8 +99,36 @@ def _edge_terms(p: BAProblem, cam_T, pts, e_active, fx, fy, cx, cy, bf, robust):
     return res, Jp, Jpt, m, cost, chi2, z
 
 
+def _dense_schur_step(p: BAProblem, Hcc_d, Hpp_inv, W, rhs, free_cam):
+    """Materialize the reduced camera system S = Hcc_d - W Hpp^-1 W^T and
+    solve it by dense Cholesky. For single-device problems (local BA:
+    6C ~ 100 dof; global BA at KITTI scale: 6C ~ 800 dof) this replaces the
+    24 sequential CG matvecs with ONE batched MXU einsum + one small
+    factorization — the LM iteration's critical path stops being a chain of
+    tiny gather/segment-sum kernels. The matrix-free CG path remains the
+    sharded/distributed story (parallel/dist_ba.py) and the fallback when
+    [P, C, 6, 3] would not fit.
+    """
+    C = Hcc_d.shape[0]
+    P = Hpp_inv.shape[0]
+    # G[p, c] = sum of W_e over edges (c observes p): scatter by (pt, cam)
+    G = _seg_sum(W, p.e_pt * C + p.e_cam, P * C).reshape(P, C, 6, 3)
+    Y = jnp.einsum("pcij,pjk->pcik", G, Hpp_inv)
+    coupling = jnp.einsum("pcik,pdjk->cidj", Y, G)          # [C,6,C,6]
+    S = -coupling
+    diag = jnp.arange(C)
+    S = S.at[diag, :, diag, :].add(Hcc_d)
+    S = S.reshape(6 * C, 6 * C)
+    # restrict to free cameras: identity rows/cols elsewhere (their rhs is 0)
+    f = jnp.repeat(free_cam[:, 0], 6)
+    S = S * f[:, None] * f[None, :] + jnp.diag(jnp.where(f > 0, 1e-6, 1.0))
+    chol = jax.scipy.linalg.cho_factor(S, lower=True)
+    dx = jax.scipy.linalg.cho_solve(chol, rhs.reshape(-1) * f)
+    return (dx * f).reshape(C, 6)
+
+
 def _lm_iteration(p: BAProblem, cam_T, pts, lam, e_active, fx, fy, cx, cy, bf,
-                  robust, cg_iters: int):
+                  robust, cg_iters: int, dense_schur: bool = False):
     C = cam_T.shape[0]
     P = pts.shape[0]
     res, Jp, Jpt, m, cost, _, _ = _edge_terms(
@@ -140,6 +168,11 @@ def _lm_iteration(p: BAProblem, cam_T, pts, lam, e_active, fx, fy, cx, cy, bf,
     rhs = (bc - _seg_sum(jnp.einsum("eij,ej->ei", W, hb[p.e_pt]), p.e_cam, C))
     rhs = rhs * free_cam
 
+    if dense_schur:
+        dx_c = _dense_schur_step(p, Hcc_d, Hpp_inv, W, rhs, free_cam)
+        return _apply_step(p, cam_T, pts, lam, e_active, fx, fy, cx, cy, bf,
+                           robust, dx_c, Hpp_inv, W, bp, m, cost, free_cam)
+
     # block-Jacobi preconditioned CG on the reduced camera system
     Minv = jnp.linalg.inv(Hcc_d + 1e-6 * eye6)
 
@@ -170,6 +203,14 @@ def _lm_iteration(p: BAProblem, cam_T, pts, lam, e_active, fx, fy, cx, cy, bf,
     (dx_c, *_), _ = jax.lax.scan(
         cg_body, (x0, r0, z0, z0, jnp.sum(r0 * z0)), None, length=cg_iters)
 
+    return _apply_step(p, cam_T, pts, lam, e_active, fx, fy, cx, cy, bf,
+                       robust, dx_c, Hpp_inv, W, bp, m, cost, free_cam)
+
+
+def _apply_step(p: BAProblem, cam_T, pts, lam, e_active, fx, fy, cx, cy, bf,
+                robust, dx_c, Hpp_inv, W, bp, m, cost, free_cam):
+    """Point back-substitution + LM accept/reject for a camera step dx_c."""
+    P = pts.shape[0]
     dx_c = jnp.where(jnp.isfinite(dx_c), dx_c, 0.0)
     # back-substitute points: dx_p = Hpp^-1 (bp - W^T dx_c)
     wtx = _seg_sum(jnp.einsum("eij,ei->ej", W, dx_c[p.e_cam]), p.e_pt, P)
@@ -197,25 +238,46 @@ def _classify(p: BAProblem, cam_T, pts, fx, fy, cx, cy, bf):
     return p.e_valid & (chi2 <= th) & (z > MIN_DEPTH)
 
 
+# [P, C, 6, 3] f32 budget for the materialized per-point camera coupling;
+# above this the matrix-free CG path is used instead (512 MB @ 72 B/entry)
+_DENSE_SCHUR_MAX_PC = 7_000_000
+
+
+def _use_dense_schur(C: int, P: int, solver: str) -> bool:
+    if solver == "dense":
+        return True
+    if solver == "cg":
+        return False
+    return P * C <= _DENSE_SCHUR_MAX_PC and 6 * C <= 4096
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("fx", "fy", "cx", "cy", "bf", "iters1", "iters2", "cg_iters"),
+    static_argnames=("fx", "fy", "cx", "cy", "bf", "iters1", "iters2",
+                     "cg_iters", "solver"),
 )
 def ba_solve(p: BAProblem, fx: float, fy: float, cx: float, cy: float,
              bf: float, iters1: int = 5, iters2: int = 10,
-             cg_iters: int = 24) -> BAResult:
+             cg_iters: int = 24, solver: str = "auto") -> BAResult:
     """Two-phase LM Schur BA (reference schedule: 5 iters, outlier cut,
     10 iters — src/Optimizer.cpp:790-841). Huber robust in phase 1,
-    plain in phase 2 (outliers excluded instead)."""
+    plain in phase 2 (outliers excluded instead).
+
+    solver: "dense" materializes the reduced camera system and solves by
+    Cholesky (fastest on one device), "cg" is the matrix-free
+    preconditioned-CG path (the distributed/sharded formulation), "auto"
+    picks dense when the [P, C] coupling tensor fits."""
     cam_T, pts = p.cam_T, p.pts
     lam = jnp.float32(1e-4)
     cost = jnp.float32(0.0)
+    dense = _use_dense_schur(cam_T.shape[0], pts.shape[0], solver)
 
     def phase(cam_T, pts, lam, e_active, robust, n):
         def body(carry, _):
             cam_T, pts, lam, _ = carry
             cam_T, pts, lam, cost = _lm_iteration(
-                p, cam_T, pts, lam, e_active, fx, fy, cx, cy, bf, robust, cg_iters)
+                p, cam_T, pts, lam, e_active, fx, fy, cx, cy, bf, robust,
+                cg_iters, dense_schur=dense)
             return (cam_T, pts, lam, cost), None
 
         (cam_T, pts, lam, cost), _ = jax.lax.scan(

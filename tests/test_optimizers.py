@@ -185,3 +185,24 @@ class TestSchurBA:
         prob = build_problem(pts_gt, cams_gt, seed=13)
         res = BA.ba_solve(prob, FX, FY, CX, CY, 0.0)
         np.testing.assert_array_equal(np.asarray(res.cam_T[:2]), cams_gt[:2])
+
+    def test_dense_schur_matches_cg(self):
+        """The materialized-Schur Cholesky path (single-device fast path)
+        and the matrix-free PCG path (sharded formulation) solve the same
+        normal equations: same inlier set, same poses to sub-mm."""
+        pts_gt, cams_gt = make_scene(seed=20, n_cams=8)
+        prob = build_problem(pts_gt, cams_gt, seed=21)
+        r_cg = BA.ba_solve(prob, FX, FY, CX, CY, 0.0, solver="cg")
+        r_dn = BA.ba_solve(prob, FX, FY, CX, CY, 0.0, solver="dense")
+        np.testing.assert_array_equal(np.asarray(r_cg.e_inlier),
+                                      np.asarray(r_dn.e_inlier))
+        assert abs(float(r_cg.cost) - float(r_dn.cost)) < 1e-2 * max(
+            1.0, float(r_cg.cost))
+        np.testing.assert_allclose(np.asarray(r_cg.cam_T),
+                                   np.asarray(r_dn.cam_T), atol=5e-4)
+        # stereo variant exercises the 3-row residual blocks
+        prob_s = build_problem(pts_gt, cams_gt, seed=22, stereo=True, bf=250.0)
+        r_cg = BA.ba_solve(prob_s, FX, FY, CX, CY, 250.0, solver="cg")
+        r_dn = BA.ba_solve(prob_s, FX, FY, CX, CY, 250.0, solver="dense")
+        np.testing.assert_allclose(np.asarray(r_cg.cam_T),
+                                   np.asarray(r_dn.cam_T), atol=5e-4)
