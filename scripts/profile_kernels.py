@@ -109,12 +109,15 @@ def main():
     for (C, P, E, tag) in ((16, 2048, 8192, "local-BA"),
                            (128, 8192, 65536, "global-BA")):
         prob, (fx, fy, cx, cy, bf) = _make_ba_problem(C, P, E)
-        jba = jax.jit(lambda p: BA.ba_solve(
-            p, fx, fy, cx, cy, bf, iters1=5, iters2=10, cg_iters=24).cam_T)
-        ms = timed(jba, (prob,), n=10)
-        flops = E * (15 * 24 * 2 + 6 * 3 * 2 * 3) * 2.5e1  # rough per-edge
-        rows.append((f"ba_solve {tag} (C={C} P={P} E={E}, 5+10 LM)", ms,
-                     f"~{flops/1e9:.1f} GFLOP; CG gathers dominate"))
+        for solver, note in (
+                ("cg", "24 sequential CG matvecs/iter (sharded formulation)"),
+                ("dense", "materialized Schur + Cholesky (MXU einsum)")):
+            jba = jax.jit(lambda p, s=solver: BA.ba_solve(
+                p, fx, fy, cx, cy, bf, iters1=5, iters2=10, cg_iters=24,
+                solver=s).cam_T)
+            ms = timed(jba, (prob,), n=10)
+            rows.append((f"ba_solve[{solver}] {tag} (C={C} P={P} E={E}, "
+                         f"5+10 LM)", ms, note))
 
     print()
     print("| kernel | median ms | roofline note |")
