@@ -311,6 +311,31 @@ def orbit_trajectory(n_frames: int, radius=0.8, forward=0.0, seed=0):
     return np.stack(poses)
 
 
+def sweep_trajectory(n_frames: int, amplitude=1.8, step=0.18):
+    """Constant-speed lateral zig-zag facing the back wall: the monocular
+    two-view-initialization workload. The per-frame baseline is `step`
+    meters; at the room's ~7 m dominant scene depth that is ~1.5 deg of
+    parallax per frame — above the >1 deg gate the reference initializer
+    applies to consecutive frames (ref src/Initializer.cpp ReconstructF/H
+    minParallax=1.0), unlike orbit_trajectory's ~0.1 deg/frame which can
+    never two-view initialize. Returns [F, 3, 4] Tcw."""
+    poses = []
+    x, direction = 0.0, 1.0
+    for i in range(n_frames):
+        C = np.array([x, 0.04 * np.sin(i * 0.7), 0.0], np.float32)
+        # gentle yaw into the direction of travel (keeps views overlapping)
+        yaw = 0.05 * direction
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        Rwc = np.array([[cy, 0, sy], [0, 1, 0], [-sy, 0, cy]], np.float32)
+        Rcw = Rwc.T
+        poses.append(np.hstack([Rcw, (-Rcw @ C)[:, None]]).astype(np.float32))
+        x += direction * step
+        if abs(x) > amplitude:
+            direction = -direction
+            x = np.clip(x, -amplitude, amplitude) + direction * step
+    return np.stack(poses)
+
+
 def loop_trajectory(n_frames: int, radius=1.5, seed=0):
     """Closed circular path inside the room, camera facing outward: the end
     revisits the start (the loop-closure workload). Returns [F, 3, 4] Tcw."""

@@ -76,6 +76,28 @@ def make_sequence(N, seed=0):
     return scene, gt, seq
 
 
+def make_mono_sequence(N, seed=0):
+    """Mono-init-friendly sequence: lateral sweep with ~0.18 m/frame
+    baseline (~1.5 deg parallax at the room's scene depth) so the
+    reference's two-view initializer (minParallax=1.0 deg on consecutive
+    frames) can actually accept a model — orbit_trajectory's ~1.5 cm/frame
+    never reaches the gate, which is why the first mono head-to-head
+    attempt recorded '0 keyframes' for the reference."""
+    import cv2
+    scene = synth.make_room(seed=seed)
+    gt = synth.sweep_trajectory(N)
+    seq = WORK / "seq_mono"
+    (seq / "rgb").mkdir(parents=True, exist_ok=True)
+    rgb_lines = []
+    for i in range(N):
+        ts = i / 30.0
+        img = synth.render_room(scene, gt[i], seed=i).astype(np.uint8)
+        cv2.imwrite(str(seq / f"rgb/{ts:.6f}.png"), img)
+        rgb_lines.append(f"{ts:.6f} rgb/{ts:.6f}.png")
+    (seq / "rgb.txt").write_text("# tum rgb\n" + "\n".join(rgb_lines) + "\n")
+    return scene, gt, seq
+
+
 def make_kitti_sequence(N, seed=0, baseline=0.5):
     """Synthetic stereo sequence in KITTI odometry layout (image_0/,
     image_1/, times.txt — Examples/Stereo/stereo_kitti.cpp LoadImages).
@@ -230,12 +252,14 @@ def main(N=90, modes=("rgbd", "mono", "stereo")):
     WORK.mkdir(exist_ok=True)
     scene, gt, seq = make_sequence(N)
     _, gt_k, seq_k = make_kitti_sequence(N)
+    _, gt_m, seq_m = make_mono_sequence(N)
     voc = make_vocab()
     settings = write_settings()
     results = {}
     for mode in modes:
         print(f"== reference {mode} ==")
-        g, s = (gt_k, seq_k) if mode == "stereo" else (gt, seq)
+        g, s = {"stereo": (gt_k, seq_k), "mono": (gt_m, seq_m)}.get(
+            mode, (gt, seq))
         ref = run_reference(mode, voc, settings, s)
         print("\n".join(ref["tail"]))
         ours = run_ours(mode, settings, s)
