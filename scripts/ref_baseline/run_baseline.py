@@ -250,16 +250,22 @@ def run_ours(mode, settings, seq, platform="cpu"):
 
 def main(N=90, modes=("rgbd", "mono", "stereo")):
     WORK.mkdir(exist_ok=True)
-    scene, gt, seq = make_sequence(N)
-    _, gt_k, seq_k = make_kitti_sequence(N)
-    _, gt_m, seq_m = make_mono_sequence(N)
+    seqs = {}  # mode -> (gt, seq); render only what the run needs
+    if "rgbd" in modes:
+        _, gt, seq = make_sequence(N)
+        seqs["rgbd"] = (gt, seq)
+    if "stereo" in modes:
+        _, gt_k, seq_k = make_kitti_sequence(N)
+        seqs["stereo"] = (gt_k, seq_k)
+    if "mono" in modes:
+        _, gt_m, seq_m = make_mono_sequence(N)
+        seqs["mono"] = (gt_m, seq_m)
     voc = make_vocab()
     settings = write_settings()
     results = {}
     for mode in modes:
         print(f"== reference {mode} ==")
-        g, s = {"stereo": (gt_k, seq_k), "mono": (gt_m, seq_m)}.get(
-            mode, (gt, seq))
+        g, s = seqs[mode]
         ref = run_reference(mode, voc, settings, s)
         print("\n".join(ref["tail"]))
         ours = run_ours(mode, settings, s)
