@@ -80,11 +80,19 @@ def dist_ba_solve(p: BA.BAProblem, mesh: Mesh, fx, fy, cx, cy, bf,
                   iters1: int = 5, iters2: int = 10, cg_iters: int = 24,
                   axis: str = "data") -> BA.BAResult:
     """Solve BA with edges + point blocks sharded over the mesh. Single-chip
-    calls work too (mesh of one device)."""
+    calls work too (mesh of one device).
+
+    solver is PINNED to "cg": the matrix-free CG formulation is the sharded
+    design (edge-local matvecs + segment-sum collectives). ba_solve's "auto"
+    dispatch would otherwise pick the single-device dense-Schur path at
+    small-to-medium scales, which materializes the [P, C, 6, 3] coupling —
+    a tensor GSPMD replicates rather than communicates (observed: the
+    lowered HLO contained no collectives and the dryrun went red)."""
     p = shard_problem(p, mesh, axis)
     with _mesh_ctx(mesh):
         return BA.ba_solve(p, fx, fy, cx, cy, bf,
-                           iters1=iters1, iters2=iters2, cg_iters=cg_iters)
+                           iters1=iters1, iters2=iters2, cg_iters=cg_iters,
+                           solver="cg")
 
 
 def lowered_collectives(p: BA.BAProblem, mesh: Mesh, fx, fy, cx, cy, bf,
@@ -98,9 +106,9 @@ def lowered_collectives(p: BA.BAProblem, mesh: Mesh, fx, fy, cx, cy, bf,
     lowered = jax.jit(
         BA.ba_solve,
         static_argnames=("fx", "fy", "cx", "cy", "bf", "iters1", "iters2",
-                         "cg_iters"),
+                         "cg_iters", "solver"),
     ).lower(p, fx=fx, fy=fy, cx=cx, cy=cy, bf=bf,
-            iters1=iters1, iters2=iters2, cg_iters=cg_iters)
+            iters1=iters1, iters2=iters2, cg_iters=cg_iters, solver="cg")
     txt = lowered.compile().as_text()
     names = ("all-reduce", "all-gather", "reduce-scatter", "collective-permute")
     return sorted({n for n in names if n in txt})
