@@ -106,10 +106,17 @@ def local_points_core(T, pts_xyz, pt_valid, pt_desc, pt_normal,
                       pt_min_dist, pt_max_dist, already_matched,
                       kp_xy, kp_octave, kp_desc, kp_valid, kp_ur,
                       scale_factors, fx, fy, cx, cy, bf, width, height,
-                      n_levels, log_scale, radius_th):
+                      n_levels, log_scale, radius_th, dedup: bool = True):
     """Traced core of the local-map search (radius_th may be a traced
     scalar — the fused frame program passes the lost-state widening as
-    data, not as a recompile)."""
+    data, not as a recompile).
+
+    dedup=False returns every point's best keypoint WITHOUT the
+    one-claimant-per-keypoint reduction — the fuse path needs multiple
+    points claiming the same keypoint to surface so the host can MERGE
+    them (ORBmatcher::Fuse processes points sequentially and merging on a
+    shared feature is the mechanism, src/ORBmatcher.cpp:1091-1113;
+    deduping here silently suppressed fuse merges)."""
     R, t = T[:, :3], T[:, 3]
     pc = pts_xyz @ R.T + t
     z = pc[:, 2]
@@ -139,7 +146,9 @@ def local_points_core(T, pts_xyz, pt_valid, pt_desc, pt_normal,
         kp_xy, kp_octave, kp_desc, kp_valid, scale_factors,
         max_dist=M.TH_HIGH, ratio=0.8, level_window=(-1, 0),
         pt_ur=ur_pred, kp_ur=kp_ur)
-    return M.resolve_duplicate_targets(res, kp_xy.shape[0]), in_frustum
+    if dedup:
+        res = M.resolve_duplicate_targets(res, kp_xy.shape[0])
+    return res, in_frustum
 
 
 @functools.partial(jax.jit, static_argnames=("fx", "fy", "cx", "cy", "bf",
@@ -175,13 +184,11 @@ def match_descriptors_ratio(desc_a, valid_a, angle_a, desc_b, valid_b, angle_b):
     return M.resolve_duplicate_targets(res, desc_b.shape[0])
 
 
-@functools.partial(jax.jit, static_argnames=("fx", "fy", "cx", "cy"))
-def epipolar_match(T1, T2, kp1_xy, kp1_oct, desc1, free1,
-                   kp2_xy, kp2_oct, desc2, free2, sigma2_levels,
-                   fx: float, fy: float, cx: float, cy: float):
-    """Match unmatched features across two keyframes with an epipolar-line
-    gate (ORBmatcher::SearchForTriangulation + CheckDistEpipolarLine,
-    src/ORBmatcher.cpp:785-994, :135-160). T1/T2: [3,4] Tcw."""
+def epipolar_match_core(T1, T2, kp1_xy, kp1_oct, desc1, free1,
+                        kp2_xy, kp2_oct, desc2, free2, sigma2_levels,
+                        fx, fy, cx, cy):
+    """Traced core of epipolar_match (called per neighbor inside the fused
+    keyframe program's lax.scan, engine_keyframe.py)."""
     R1, t1 = T1[:, :3], T1[:, 3]
     R2, t2 = T2[:, :3], T2[:, 3]
     # relative pose cam1<-cam2: R12 = R1 R2^T, t12 = -R12 t2 + t1
@@ -209,3 +216,15 @@ def epipolar_match(T1, T2, kp1_xy, kp1_oct, desc1, free1,
     cand = epi_ok & free1[:, None] & free2[None, :]
     res = M.masked_best_match(dist, cand, M.TH_LOW, 0.75)
     return M.resolve_duplicate_targets(res, kp2_xy.shape[0])
+
+
+@functools.partial(jax.jit, static_argnames=("fx", "fy", "cx", "cy"))
+def epipolar_match(T1, T2, kp1_xy, kp1_oct, desc1, free1,
+                   kp2_xy, kp2_oct, desc2, free2, sigma2_levels,
+                   fx: float, fy: float, cx: float, cy: float):
+    """Match unmatched features across two keyframes with an epipolar-line
+    gate (ORBmatcher::SearchForTriangulation + CheckDistEpipolarLine,
+    src/ORBmatcher.cpp:785-994, :135-160). T1/T2: [3,4] Tcw."""
+    return epipolar_match_core(T1, T2, kp1_xy, kp1_oct, desc1, free1,
+                               kp2_xy, kp2_oct, desc2, free2, sigma2_levels,
+                               fx, fy, cx, cy)

@@ -19,14 +19,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import SlamConfig, Sensor
-from .frontend import matcher as FM
-from .geometry import se3
 from .map.mapstate import MapState
 from .ops import ba as BA
 from .ops import features as F
-from .ops import matching as M
 from .ops import refine as RF
-from .ops import triangulation as TRI
 
 
 def _bucket(n: int, buckets) -> int:
@@ -172,6 +168,41 @@ class LocalMapper:
             ur0 = mp.kf_ur0[tkf, fo]
             mp.kf_ur[tkf, fo] = np.where(ur0 >= 0, ur0 + d[:, 0], ur0)
 
+    def _refine_obs_multi(self, kfs: np.ndarray, feats: np.ndarray,
+                          templates: np.ndarray):
+        """_refine_obs_absolute across MULTIPLE keyframes in one batched
+        dispatch: entry i refines observation (kfs[i], feats[i]) against
+        templates[i]. Host gathers the windows; the device program is the
+        same fixed-bucket refine_offsets."""
+        mp = self.map
+        if len(feats) == 0:
+            return
+        Mb = 512
+        sf = self.sf
+        for s in range(0, len(feats), Mb):
+            k = kfs[s:s + Mb]
+            f = feats[s:s + Mb]
+            t = templates[s:s + Mb]
+            n = len(f)
+            pad = Mb - n
+            kp = np.concatenate([k, np.zeros(pad, k.dtype)])
+            fp = np.concatenate([f, np.zeros(pad, f.dtype)])
+            win = mp.kf_patch[kp, fp].astype(np.float32)
+            tpl = np.concatenate(
+                [t.astype(np.float32), np.zeros((pad,) + t.shape[1:], np.float32)])
+            vmask = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
+            delta, ok = RF.refine_offsets(
+                jnp.asarray(win), jnp.asarray(tpl), jnp.asarray(vmask))
+            ok = np.asarray(ok) & vmask
+            if not ok.any():
+                continue
+            ko, fo = kp[ok], fp[ok]
+            lv = np.clip(mp.kf_octave[ko, fo], 0, len(sf) - 1)
+            d = np.asarray(delta)[ok] * sf[lv][:, None]
+            mp.kf_xy[ko, fo] = mp.kf_xy0[ko, fo] + d
+            ur0 = mp.kf_ur0[ko, fo]
+            mp.kf_ur[ko, fo] = np.where(ur0 >= 0, ur0 + d[:, 0], ur0)
+
     def refine_bound_observations(self, kf: int):
         """Re-measure every point-bound feature of a new keyframe against its
         point's anchor template, so BA edges are template-consistent even
@@ -186,23 +217,32 @@ class LocalMapper:
     # ---------------------------------------------------------------- process
     def process(self, kf: int):
         """ProcessNewKeyFrame + the per-KF pipeline (LocalMapping::Run,
-        src/LocalMapping.cpp:48-170)."""
+        src/LocalMapping.cpp:48-170).
+
+        Thread safety: every stage takes the map lock around its HOST
+        read/apply sections and releases it across device dispatches
+        (create_new_points / fuse_neighbors / run_ba), so with
+        async_mapping=True the tracker's fused frames interleave with the
+        mapping compute but never observe torn map state."""
         self.kf_counter += 1
-        self.register_keyframe(kf)
-        self.refine_bound_observations(kf)
-        # spanning-tree parent: most covisible KF at insertion
-        if self.map.kf_parent[kf] < 0:
-            w = self.map.covisibility_weights(kf)
-            if w.max() > 0:
-                self.map.kf_parent[kf] = int(np.argmax(w))
-        self.map.refresh_point_stats(np.unique(self.map.kf_pt[kf][self.map.kf_pt[kf] >= 0]))
-        self.cull_recent_points()
+        with self.map.lock:
+            self.register_keyframe(kf)
+            self.refine_bound_observations(kf)
+            # spanning-tree parent: most covisible KF at insertion
+            if self.map.kf_parent[kf] < 0:
+                w = self.map.covisibility_weights(kf)
+                if w.max() > 0:
+                    self.map.kf_parent[kf] = int(np.argmax(w))
+            self.map.refresh_point_stats(
+                np.unique(self.map.kf_pt[kf][self.map.kf_pt[kf] >= 0]))
+            self.cull_recent_points()
         self.create_new_points(kf)
         self.fuse_neighbors(kf)
         self.local_ba(kf)
-        self.cull_keyframes(kf)
-        if self.loop_closer is not None:
-            self.loop_closer.process(kf)
+        with self.map.lock:
+            self.cull_keyframes(kf)
+            if self.loop_closer is not None:
+                self.loop_closer.process(kf)
 
     # ---------------------------------------------------------------- culling
     def cull_recent_points(self):
@@ -263,24 +303,39 @@ class LocalMapper:
 
     # ----------------------------------------------------------- new points
     def create_new_points(self, kf: int):
-        """CreateNewMapPoints (src/LocalMapping.cpp:298-610)."""
+        """CreateNewMapPoints (src/LocalMapping.cpp:298-610), batched: the
+        per-neighbor match/refine/triangulate loop runs as ONE device
+        dispatch over all neighbors (engine_keyframe.map_new_points) with
+        one readback; the host applies slot allocation and writebacks."""
+        mp = self.map
+        with mp.lock:
+            dispatched = self._create_new_points_dispatch(kf)
+        if dispatched is None:
+            return
+        neighbors, k_valid, out = dispatched
+        idx, X, ok, delta, okr = (np.asarray(a) for a in out)  # readback
+        with mp.lock:
+            self._create_new_points_apply(kf, neighbors, k_valid,
+                                          idx, X, ok, delta, okr)
+
+    def _create_new_points_dispatch(self, kf: int):
         mp = self.map
         cfg = self.cfg
         n_neigh = 20 if cfg.sensor == Sensor.MONOCULAR else 10
-        neighbors = mp.covisible_kfs(kf, n_neigh)
-        if len(neighbors) == 0:
-            return
+        neighbors = [int(k) for k in mp.covisible_kfs(kf, n_neigh)]
+        if not neighbors:
+            return None
         cam = cfg.camera
         T1 = mp.kf_pose[kf]
         Ow1 = -T1[:, :3].T @ T1[:, 3]
         free1 = (mp.kf_pt[kf] < 0) & mp.kf_feat_valid[kf]
 
-        for kn in neighbors:
-            kn = int(kn)
+        # host-side per-neighbor gates (src/LocalMapping.cpp:349-365)
+        k_valid = np.zeros(len(neighbors), bool)
+        for i, kn in enumerate(neighbors):
             T2 = mp.kf_pose[kn]
             Ow2 = -T2[:, :3].T @ T2[:, 3]
             baseline = float(np.linalg.norm(Ow1 - Ow2))
-            # baseline/median-depth check (src/LocalMapping.cpp:349-365)
             if cfg.sensor == Sensor.MONOCULAR:
                 pts2 = mp.kf_pt[kn]
                 vis = pts2 >= 0
@@ -292,135 +347,193 @@ class LocalMapper:
                     continue
             elif baseline < cam.baseline:
                 continue
+            k_valid[i] = True
+        if not k_valid.any():
+            return None
 
-            free2 = (mp.kf_pt[kn] < 0) & mp.kf_feat_valid[kn]
-            res = FM.epipolar_match(
-                jnp.asarray(T1), jnp.asarray(T2),
-                jnp.asarray(mp.kf_xy[kf]), jnp.asarray(mp.kf_octave[kf]),
-                jnp.asarray(mp.kf_desc[kf]), jnp.asarray(free1),
-                jnp.asarray(mp.kf_xy[kn]), jnp.asarray(mp.kf_octave[kn]),
-                jnp.asarray(mp.kf_desc[kn]), jnp.asarray(free2),
-                jnp.asarray(self.sigma2), cam.fx, cam.fy, cam.cx, cam.cy)
-            midx = np.asarray(res.idx)
-            i1 = np.flatnonzero(midx >= 0)
+        # fixed neighbor bucket: pad by repeating the first neighbor with
+        # k_valid False (compiles once per (sensor, capacity))
+        K = n_neigh
+        nb = np.asarray(
+            neighbors + [neighbors[0]] * (K - len(neighbors)), np.int32)
+        k_valid = np.concatenate(
+            [k_valid, np.zeros(K - len(neighbors), bool)])
+        free2 = (mp.kf_pt[nb] < 0) & mp.kf_feat_valid[nb]
+
+        from . import engine_keyframe as EK
+        out = EK.map_new_points(
+            jnp.asarray(T1), jnp.asarray(mp.kf_xy0[kf]),
+            jnp.asarray(mp.kf_octave[kf]), jnp.asarray(mp.kf_desc[kf]),
+            jnp.asarray(free1), jnp.asarray(mp.kf_patch[kf]),
+            jnp.asarray(mp.kf_pose[nb]), jnp.asarray(mp.kf_xy0[nb]),
+            jnp.asarray(mp.kf_octave[nb]), jnp.asarray(mp.kf_desc[nb]),
+            jnp.asarray(free2), jnp.asarray(mp.kf_patch[nb]),
+            jnp.asarray(k_valid),
+            jnp.asarray(self.sigma2), jnp.asarray(self.sf),
+            cam.fx, cam.fy, cam.cx, cam.cy, self.cfg.orb.scale_factor)
+        return neighbors, k_valid, out
+
+    def _create_new_points_apply(self, kf: int, neighbors, k_valid,
+                                 idx, X, ok, delta, okr):
+        mp = self.map
+        anchor_tpl_full = None
+        for j in range(len(neighbors)):
+            if not k_valid[j]:
+                continue
+            kn = neighbors[j]
+            i1 = np.flatnonzero(idx[j] >= 0)
             if len(i1) == 0:
                 continue
-            i2 = midx[i1]
-            # template-align the pair before triangulating: the anchor
-            # observation IS the template center (reset to the pristine
-            # detection), the neighbor observation is LK-refined against it
-            anchor_tpl = np.asarray(
-                RF.template_of(mp.kf_patch[kf, i1].astype(np.float32)))
+            i2 = idx[j, i1]
+            # writebacks mirror the staged path: the anchor observation is
+            # reset to the pristine detection (it IS the template center),
+            # the neighbor observation adopts the on-device LK refinement
             mp.kf_xy[kf, i1] = mp.kf_xy0[kf, i1]
             mp.kf_ur[kf, i1] = mp.kf_ur0[kf, i1]
-            self._refine_obs_absolute(kn, i2, anchor_tpl)
-            ok, X = self._triangulate_pairs(kf, kn, i1, i2)
-            i1, i2 = i1[:len(ok)], i2[:len(ok)]
-            anchor_tpl = anchor_tpl[:len(ok)]
-            if ok.sum() == 0:
+            ref = okr[j, i1]
+            if ref.any():
+                i2r, i1r = i2[ref], i1[ref]
+                lv = np.clip(mp.kf_octave[kn, i2r], 0, len(self.sf) - 1)
+                d = delta[j, i1r] * self.sf[lv][:, None]
+                mp.kf_xy[kn, i2r] = mp.kf_xy0[kn, i2r] + d
+                ur0 = mp.kf_ur0[kn, i2r]
+                mp.kf_ur[kn, i2r] = np.where(ur0 >= 0, ur0 + d[:, 0], ur0)
+            good = ok[j, i1]
+            if not good.any():
                 continue
-            i1o, i2o, Xo = i1[ok], i2[ok], X[ok]
+            i1o, i2o, Xo = i1[good], i2[good], X[j, i1[good]]
+            if anchor_tpl_full is None:
+                anchor_tpl_full = np.asarray(RF.template_of(
+                    jnp.asarray(mp.kf_patch[kf].astype(np.float32))))
             try:
                 pt_ids = mp.add_points(Xo.astype(np.float32),
                                        mp.kf_desc[kf, i1o], ref_kf=kf,
                                        first_kf=kf,
-                                       patch=anchor_tpl[ok])
+                                       patch=anchor_tpl_full[i1o])
             except RuntimeError:
                 return  # point capacity exhausted
             mp.kf_pt[kf, i1o] = pt_ids
             mp.kf_pt[kn, i2o] = pt_ids
-            free1[i1o] = False
             for p in pt_ids:
                 self.recent[int(p)] = (self.kf_counter, kf)
             mp.refresh_point_stats(pt_ids)
-
-    def _triangulate_pairs(self, k1: int, k2: int, i1, i2):
-        """Triangulate matched pairs with the reference gates via the padded
-        jitted kernel (ops/triangulation.py)."""
-        mp = self.map
-        cam = self.cfg.camera
-        M = 512  # static pair bucket
-        n = min(len(i1), M)
-        pad = M - n
-        i1p = np.concatenate([i1[:n], np.zeros(pad, i1.dtype)])
-        i2p = np.concatenate([i2[:n], np.zeros(pad, i2.dtype)])
-        vmask = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
-        X, ok = TRI.triangulate_gated(
-            jnp.asarray(mp.kf_pose[k1]), jnp.asarray(mp.kf_pose[k2]),
-            jnp.asarray(mp.kf_xy[k1, i1p]), jnp.asarray(mp.kf_xy[k2, i2p]),
-            jnp.asarray(mp.kf_octave[k1, i1p]), jnp.asarray(mp.kf_octave[k2, i2p]),
-            jnp.asarray(vmask), jnp.asarray(self.sigma2), jnp.asarray(self.sf),
-            cam.fx, cam.fy, cam.cx, cam.cy, self.cfg.orb.scale_factor)
-        return np.asarray(ok)[:len(i1[:n])], np.asarray(X)[:len(i1[:n])]
 
     # -------------------------------------------------------------------- fuse
     def fuse_neighbors(self, kf: int):
         """SearchInNeighbors (src/LocalMapping.cpp:611-721): project the new
         keyframe's points into neighbors and neighbors' points into the new
-        keyframe; merge duplicates keeping the most-observed point."""
-        mp = self.map
-        targets = [int(k) for k in mp.covisible_kfs(kf, 10)]
-        if not targets:
-            return
-        obs_counts = mp.point_obs_count()
-        pairs = [(kf, t) for t in targets] + [(t, kf) for t in targets]
-        for src_kf, dst_kf in pairs:
-            pts = mp.kf_pt[src_kf]
-            pids = np.unique(pts[pts >= 0])
-            pids = pids[mp.pt_valid[pids]]
-            if len(pids) == 0:
-                continue
-            self._fuse_into(pids, dst_kf, obs_counts)
+        keyframe; merge duplicates keeping the most-observed point.
 
-    def _fuse_into(self, pids, dst_kf: int, obs_counts):
+        Batched: both fuse directions run as ONE device dispatch
+        (engine_keyframe.fuse_targets) with one readback; matches are
+        computed against the pre-fuse map state (the host loop's only
+        cross-pair coupling was point-id redirects, resolved below), then
+        the merge bookkeeping applies sequentially on the host as before."""
+        mp = self.map
+        with mp.lock:
+            dispatched = self._fuse_dispatch(kf)
+        if dispatched is None:
+            return
+        targets, tg, a_lp, b_lp, obs_counts, out = dispatched
+        idx_a, idx_b = (np.asarray(a) for a in out)  # readback, lock free
+        with mp.lock:
+            self._fuse_apply(kf, targets, tg, a_lp, b_lp, obs_counts,
+                             idx_a, idx_b)
+
+    def _fuse_dispatch(self, kf: int):
         mp = self.map
         cam = self.cfg.camera
+        targets = [int(k) for k in mp.covisible_kfs(kf, 10)]
+        if not targets:
+            return None
+        obs_counts = mp.point_obs_count()
+
+        Tn = 10  # static target bucket
+        tg = np.asarray(targets + [targets[0]] * (Tn - len(targets)), np.int32)
+        t_live = np.arange(Tn) < len(targets)
+
+        def point_set(kfs, cap):
+            pts = mp.kf_pt[kfs]
+            pids = np.unique(pts[pts >= 0])
+            pids = pids[mp.pt_valid[pids]][:cap]
+            pad = cap - len(pids)
+            lp = np.concatenate([pids, np.zeros(pad, pids.dtype)])
+            pv = np.concatenate([np.ones(len(pids), bool), np.zeros(pad, bool)])
+            return lp, pv
+
         cap = self.cfg.local_points_cap
-        pids = pids[:cap]
-        pad = cap - len(pids)
-        lp = np.concatenate([pids, np.zeros(pad, pids.dtype)])
-        pvalid = np.concatenate([np.ones(len(pids), bool), np.zeros(pad, bool)])
-        res, _ = FM.match_local_points(
-            jnp.asarray(mp.kf_pose[dst_kf]), jnp.asarray(mp.pt_xyz[lp]),
-            jnp.asarray(pvalid), jnp.asarray(mp.pt_desc[lp]),
-            jnp.asarray(mp.pt_normal[lp]), jnp.asarray(mp.pt_min_dist[lp]),
-            jnp.asarray(mp.pt_max_dist[lp]), jnp.asarray(np.zeros(cap, bool)),
-            jnp.asarray(mp.kf_xy[dst_kf]), jnp.asarray(mp.kf_octave[dst_kf]),
-            jnp.asarray(mp.kf_desc[dst_kf]), jnp.asarray(mp.kf_feat_valid[dst_kf]),
-            jnp.asarray(mp.kf_ur[dst_kf]),
+        a_lp, a_pv = point_set(np.asarray([kf]), min(cap, mp.kf_pt.shape[1]))
+        b_lp, b_pv = point_set(tg[t_live], cap)
+        if not a_pv.any() and not b_pv.any():
+            return None
+
+        from . import engine_keyframe as EK
+        out = EK.fuse_targets(
+            jnp.asarray(mp.kf_pose[tg]), jnp.asarray(mp.kf_xy[tg]),
+            jnp.asarray(mp.kf_octave[tg]), jnp.asarray(mp.kf_desc[tg]),
+            jnp.asarray(mp.kf_feat_valid[tg] & t_live[:, None]),
+            jnp.asarray(mp.kf_ur[tg]),
+            jnp.asarray(mp.pt_xyz[a_lp]), jnp.asarray(a_pv),
+            jnp.asarray(mp.pt_desc[a_lp]), jnp.asarray(mp.pt_normal[a_lp]),
+            jnp.asarray(mp.pt_min_dist[a_lp]), jnp.asarray(mp.pt_max_dist[a_lp]),
+            jnp.asarray(mp.kf_pose[kf]), jnp.asarray(mp.kf_xy[kf]),
+            jnp.asarray(mp.kf_octave[kf]), jnp.asarray(mp.kf_desc[kf]),
+            jnp.asarray(mp.kf_feat_valid[kf]), jnp.asarray(mp.kf_ur[kf]),
+            jnp.asarray(mp.pt_xyz[b_lp]), jnp.asarray(b_pv),
+            jnp.asarray(mp.pt_desc[b_lp]), jnp.asarray(mp.pt_normal[b_lp]),
+            jnp.asarray(mp.pt_min_dist[b_lp]), jnp.asarray(mp.pt_max_dist[b_lp]),
             jnp.asarray(self.sf), cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
             cam.width, cam.height, self.cfg.orb.n_levels,
-            float(np.log(self.cfg.orb.scale_factor)), 3.0)
-        midx = np.asarray(res.idx)
-        touched = []
-        new_feats, new_pts = [], []
-        for s in np.flatnonzero(midx >= 0):
-            p = int(lp[s])
-            feat = int(midx[s])
-            existing = int(mp.kf_pt[dst_kf, feat])
-            if existing == p:
-                continue
-            if existing >= 0 and mp.pt_valid[existing]:
-                # merge: keep the point with more observations
-                # (ORBmatcher::Fuse, src/ORBmatcher.cpp:1091-1113)
-                if obs_counts[existing] >= obs_counts[p]:
-                    mp.replace_point(p, existing)
-                    touched.append(existing)
+            float(np.log(self.cfg.orb.scale_factor)))
+        return targets, tg, a_lp, b_lp, obs_counts, out
+
+    def _fuse_apply(self, kf: int, targets, tg, a_lp, b_lp, obs_counts,
+                    idx_a, idx_b):
+        mp = self.map
+        touched: list[int] = []
+        refine_kf, refine_feat, refine_pt = [], [], []
+        jobs = [(tg[j], a_lp, idx_a[j]) for j in range(len(targets))]
+        jobs.append((kf, b_lp, idx_b))
+        redirects: dict[int, int] = {}  # merges applied within this fuse
+        for dst_kf, lp, midx in jobs:
+            dst_kf = int(dst_kf)
+            lp_res = mp.resolve_point_ids(lp)  # one vectorized resolve/job
+            for s in np.flatnonzero(midx >= 0):
+                p = int(lp_res[s])
+                while p in redirects:  # follow intra-fuse merge redirects
+                    p = redirects[p]
+                if p < 0 or not mp.pt_valid[p]:
+                    continue
+                feat = int(midx[s])
+                existing = int(mp.kf_pt[dst_kf, feat])
+                if existing == p:
+                    continue
+                if existing >= 0 and mp.pt_valid[existing]:
+                    # merge: keep the point with more observations
+                    # (ORBmatcher::Fuse, src/ORBmatcher.cpp:1091-1113)
+                    if obs_counts[existing] >= obs_counts[p]:
+                        mp.replace_point(p, existing)
+                        redirects[p] = existing
+                        touched.append(existing)
+                    else:
+                        mp.replace_point(existing, p)
+                        redirects[existing] = p
+                        mp.kf_pt[dst_kf, feat] = p
+                        touched.append(p)
                 else:
-                    mp.replace_point(existing, p)
                     mp.kf_pt[dst_kf, feat] = p
                     touched.append(p)
-            else:
-                mp.kf_pt[dst_kf, feat] = p
-                touched.append(p)
-                new_feats.append(feat)
-                new_pts.append(p)
-        if new_feats:
+                    refine_kf.append(dst_kf)
+                    refine_feat.append(feat)
+                    refine_pt.append(p)
+        if refine_feat:
             # template-align the fresh observations (merge-branch features
             # keep their earlier refinement; their templates were duplicates
-            # of the same physical corner)
-            self._refine_obs_absolute(dst_kf, np.asarray(new_feats),
-                                      mp.pt_patch[np.asarray(new_pts)])
+            # of the same physical corner) — one batched dispatch across all
+            # destination keyframes
+            self._refine_obs_multi(np.asarray(refine_kf),
+                                   np.asarray(refine_feat),
+                                   mp.pt_patch[np.asarray(refine_pt)])
         if touched:
             mp.refresh_point_stats(np.unique(touched))
 
@@ -429,6 +542,15 @@ class LocalMapper:
         """LocalBundleAdjustment window construction
         (src/Optimizer.cpp:564-941): local cams = current + covisible; local
         points = their points; fixed cams = other observers of those points."""
+        mp = self.map
+        with mp.lock:
+            sel = self._local_ba_select(kf)
+        if sel is None:
+            return
+        cams, fixed, lpts = sel
+        self.run_ba(cams, fixed=fixed, points=lpts)
+
+    def _local_ba_select(self, kf: int):
         mp = self.map
         local = [kf] + [int(k) for k in mp.covisible_kfs(kf)]
         local = local[:self.cfg.local_ba_cam_cap]
@@ -457,36 +579,41 @@ class LocalMapper:
         if mp.kf_frame_id[cams].min() <= mp.kf_frame_id[mp.kf_valid].min():
             fixed_mask[int(np.argmin(mp.kf_frame_id[cams]))] = True
 
-        self.run_ba(cams, fixed=[cams[i] for i in np.flatnonzero(fixed_mask)],
-                    points=lpts)
+        return cams, [cams[i] for i in np.flatnonzero(fixed_mask)], lpts
 
     def run_ba(self, cams: list[int], fixed: list[int],
                points: np.ndarray | None = None, iters=(5, 10)):
         """Build a bucketed BAProblem from map slices, solve, write back,
         and prune outlier observations."""
         mp = self.map
-        prob, meta = build_ba_problem(mp, self.cfg, self.sigma2, cams, fixed,
-                                      points)
+        with mp.lock:
+            prob, meta = build_ba_problem(mp, self.cfg, self.sigma2, cams,
+                                          fixed, points)
         if meta["n_dropped"]:
             from .utils.metrics import log_event
             log_event("ba_edges_dropped", dropped=meta["n_dropped"],
                       kept=meta["E_need"])
         cam_p = self.cfg.camera
+        # solve + readback happen OUTSIDE the map lock: the solver iterates
+        # on its own snapshot (the BAProblem arrays), so tracking frames
+        # interleave with the BA compute — the reference's concurrent
+        # LocalMapping thread, without its data races
         res = BA.ba_solve(prob, cam_p.fx, cam_p.fy, cam_p.cx, cam_p.cy,
                           cam_p.bf, iters1=iters[0], iters2=iters[1])
-        # write back
         cam_arr, points = meta["cam_arr"], meta["points"]
-        fixed_set = meta["fixed_set"]
-        kf_of_e, fi, E_need = meta["kf_of_e"], meta["fi"], meta["E_need"]
         new_T = np.asarray(res.cam_T)[:len(cam_arr)]
-        for i, c in enumerate(cams):
-            if c not in fixed_set:
-                mp.kf_pose[c] = new_T[i]
-        mp.pt_xyz[points] = np.asarray(res.pts)[:len(points)]
-        mp.mark_points_dirty(points)  # direct geometry write (mirror sync)
-        # prune outlier observations (src/Optimizer.cpp:845-941)
-        inl = np.asarray(res.e_inlier)[:E_need]
-        bad = ~inl
-        if bad.any():
-            mp.kf_pt[kf_of_e[bad], fi[bad]] = -1
-        mp.refresh_point_stats(points)
+        new_pts = np.asarray(res.pts)[:len(points)]
+        inl = np.asarray(res.e_inlier)[:meta["E_need"]]
+        with mp.lock:
+            fixed_set = meta["fixed_set"]
+            kf_of_e, fi = meta["kf_of_e"], meta["fi"]
+            for i, c in enumerate(cams):
+                if c not in fixed_set:
+                    mp.kf_pose[c] = new_T[i]
+            mp.pt_xyz[points] = new_pts
+            mp.mark_points_dirty(points)  # direct geometry write (mirror)
+            # prune outlier observations (src/Optimizer.cpp:845-941)
+            bad = ~inl
+            if bad.any():
+                mp.kf_pt[kf_of_e[bad], fi[bad]] = -1
+            mp.refresh_point_stats(points)

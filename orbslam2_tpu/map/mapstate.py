@@ -68,6 +68,15 @@ class MapState:
     next_kf_id: int = 0
 
     def __post_init_extra__(self):
+        # Map update lock — the reference's Map::mMutexMapUpdate
+        # (include/Map.h:62). Synchronous pipelines never contend on it;
+        # with System(async_mapping=True) the tracker and the mapping worker
+        # hold it around their HOST read/apply sections only (device
+        # dispatch + readback happen outside), so tracking overlaps mapping
+        # compute but never sees torn map state. RLock: the sync pipeline
+        # nests tracker -> mapper sections on one thread.
+        import threading
+        self.lock = threading.RLock()
         # culled-KF trajectory recovery: slot -> (parent_slot, T_this_wrt_parent)
         # (the reference's KeyFrame::mTcp spanning-tree chain,
         # include/KeyFrame.h:188-189, walked in SaveTrajectoryTUM)

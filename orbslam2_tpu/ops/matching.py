@@ -34,14 +34,12 @@ BIG = 1 << 20
 def hamming_matrix(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:
     """[A, 8] u32 x [B, 8] u32 -> [A, B] int32 Hamming distances.
 
-    With ORBSLAM2_TPU_PALLAS=1 and tile-aligned shapes this routes to the
-    Pallas kernel (ops/pallas_kernels.py); the default is the XLA
-    expression below (identical results, same speed for this op — it is
-    VPU/HBM-trivial either way). The XLA path is the default because on
-    remote-attached TPU runtimes (the axon relay used for benching),
-    programs containing Pallas custom calls stop pipelining once the
-    process has done any device->host transfer (~15 ms per dispatch,
-    measured), while pure-XLA programs keep overlapping."""
+    On TPU backends with tile-aligned shapes this routes to the Pallas
+    kernel (ops/pallas_kernels.py) by default; ORBSLAM2_TPU_PALLAS=0
+    forces the XLA expression below (identical results — parity-tested).
+    Both paths are ~2 us/device-call at [1024,1024] (near VPU
+    speed-of-light, docs/PERF.md), so the dispatch exists for
+    completeness, not speed."""
     from . import pallas_kernels as PK
     A, B = desc_a.shape[0], desc_b.shape[0]
     if (PK.pallas_enabled() and A % PK.TILE_A == 0 and B % PK.TILE_B == 0):

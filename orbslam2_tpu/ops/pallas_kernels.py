@@ -39,10 +39,12 @@ def _hamming_kernel(a_ref, b_ref, out_ref):
     out_ref[:, :] = acc
 
 
-@functools.partial(jax.jit, static_argnames=())
-def hamming_matrix_pallas(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def hamming_matrix_pallas(desc_a: jnp.ndarray, desc_b: jnp.ndarray,
+                          interpret: bool = False) -> jnp.ndarray:
     """[A, 8] u32 x [B, 8] u32 -> [A, B] int32; A, B must be multiples of
-    the tile sizes (the callers' capacities are 256-padded)."""
+    the tile sizes (the callers' capacities are 256-padded). interpret=True
+    runs the kernel in the Pallas interpreter (CPU parity tests)."""
     A, B = desc_a.shape[0], desc_b.shape[0]
     grid = (A // TILE_A, B // TILE_B)
     return pl.pallas_call(
@@ -59,6 +61,7 @@ def hamming_matrix_pallas(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarr
             out_specs=pl.BlockSpec((TILE_A, TILE_B), lambda i, j: (i, j),
                                    memory_space=pltpu.VMEM),
         ),
+        interpret=interpret,
     )(desc_a, desc_b)
 
 
@@ -72,7 +75,12 @@ def pallas_available() -> bool:
 
 
 def pallas_enabled() -> bool:
-    """Opt-in dispatch gate for the matchers (see ops/matching.py
-    hamming_matrix for why the default is the XLA path)."""
+    """Dispatch gate for the matchers: ON by default on TPU backends
+    (parity-tested vs the XLA path, tests/test_features.py). Set
+    ORBSLAM2_TPU_PALLAS=0 to force the XLA expression. An earlier round
+    measured Pallas custom calls de-pipelining the axon relay after a
+    device->host transfer; re-measured on jax 0.9.0 this no longer
+    reproduces (the Pallas path was faster in that regime, docs/PERF.md),
+    so the kernel is now the TPU default."""
     import os
-    return os.environ.get("ORBSLAM2_TPU_PALLAS") == "1" and pallas_available()
+    return os.environ.get("ORBSLAM2_TPU_PALLAS", "1") != "0" and pallas_available()

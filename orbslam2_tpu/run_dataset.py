@@ -62,6 +62,25 @@ def main(argv=None):
     sensor_name, loader = MODES[mode]
     sensor = Sensor[sensor_name]
     cfg = load_settings(settings, sensor)
+
+    # EuRoC stereo: the raw cam0/cam1 images are unrectified — build the
+    # rectification remaps from the YAML's LEFT.*/RIGHT.* blocks and
+    # override the intrinsics from the rectified projection matrices, as
+    # the reference driver does (Examples/Stereo/stereo_EuRoC.cpp:35-90).
+    rectify = None
+    if loader == "euroc_stereo":
+        from .config import with_camera
+        from .io.rectify import load_rectification
+        rect = load_rectification(settings)
+        if rect is not None:
+            rect_l, rect_r, fx, fy, cx, cy, bf = rect
+            rectify = (rect_l, rect_r)
+            cfg = with_camera(cfg, fx=fx, fy=fy, cx=cx, cy=cy, bf=bf,
+                              k1=0.0, k2=0.0, p1=0.0, p2=0.0, k3=0.0)
+        else:
+            print("warning: no LEFT./RIGHT. rectification blocks in "
+                  f"{settings}; feeding raw images", file=sys.stderr)
+
     slam = System(cfg, use_viewer=use_viewer)
 
     if loader == "tum_mono":
@@ -83,6 +102,9 @@ def main(argv=None):
         for n, item in enumerate(it):
             if max_frames and n >= max_frames:
                 return
+            if rectify is not None:
+                item[1]["image"] = rectify[0](item[1]["image"])
+                item[1]["right"] = rectify[1](item[1]["right"])
             yield item
 
     # pipelined: next frame's extraction overlaps current frame's tracking

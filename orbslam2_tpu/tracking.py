@@ -193,6 +193,14 @@ class Tracker:
         return self.track(frame)
 
     def track(self, frame: Frame) -> np.ndarray | None:
+        # staged (non-fused) path: init, fallbacks, relocalization. Rare in
+        # steady state — hold the map lock for the whole frame (the
+        # reference also holds mMutexMapUpdate across Track(),
+        # src/Tracking.cpp:336).
+        with self.map.lock:
+            return self._track_locked(frame)
+
+    def _track_locked(self, frame: Frame) -> np.ndarray | None:
         if self.state == TrackState.NOT_INITIALIZED:
             if self.cfg.sensor == Sensor.MONOCULAR:
                 self._monocular_initialization(frame)
@@ -584,50 +592,58 @@ class Tracker:
         cfg = self.cfg
         cam = cfg.camera
         last = self.last_frame
-        # CheckReplacedInLastFrame + quarantine release (src/Tracking.cpp:372)
-        last.pt_idx = mp.resolve_point_ids(last.pt_idx)
-        mp.release_retired_points()
-        self._refresh_mirror()
-        t1 = _t()
+        # --- map-read critical section: everything that touches the host
+        # map arrays happens under the map lock (Map::mMutexMapUpdate,
+        # include/Map.h:62); the device dispatch below captures the inputs
+        # so the lock is NOT held while the TPU works ---
+        with mp.lock:
+            # CheckReplacedInLastFrame + quarantine release
+            # (src/Tracking.cpp:372)
+            last.pt_idx = mp.resolve_point_ids(last.pt_idx)
+            mp.release_retired_points()
+            self._refresh_mirror()
+            t1 = _t()
 
-        lp_pad, pvalid, best_kf = self._select_local_points(last.pt_idx)
-        if lp_pad is None:
-            frame = self.builder.build(img, timestamp, depth_map=depth_map,
-                                       right_img=right_img)
-            return self.track(frame)
+            lp_pad, pvalid, best_kf = self._select_local_points(last.pt_idx)
+            if lp_pad is None:
+                frame = self.builder.build(img, timestamp, depth_map=depth_map,
+                                           right_img=right_img)
+                return self.track(frame)
 
-        T_pred = se3_np.orthonormalize(se3_np.compose(self.velocity, last.pose))
-        tmp_enable = bool(cfg.sensor != Sensor.MONOCULAR
-                          and self.localization_only
-                          and last.frame_id != self.last_kf_frame_id)
-        sensor = {Sensor.MONOCULAR: "mono", Sensor.RGBD: "rgbd",
-                  Sensor.STEREO: "stereo"}[cfg.sensor]
-        img_dev = jnp.asarray(img, jnp.float32)
-        if sensor == "rgbd":
-            aux = jnp.asarray(depth_map, jnp.float32)
-        elif sensor == "stereo":
-            aux = jnp.asarray(right_img, jnp.float32)
-        else:
-            aux = img_dev
-        ld = self._last_dev_arrays(last)
-        if timing:
-            jax.block_until_ready(list(ld.values()))
-            jax.block_until_ready(list(self._mirror))
-            jax.block_until_ready(img_dev)
-            t1b = _t()
-            print(f"  [fused-inputs ready: +{1e3*(t1b-t1):.1f} ms]", flush=True)
-        out = ES.track_frame_full(
-            img_dev, aux, jnp.asarray(T_pred), jnp.asarray(last.pose),
-            jnp.asarray(last.pt_idx), ld["xy"], ld["desc"], ld["octave"],
-            ld["angle"], ld["patch"], ld["valid"], ld["depth"],
-            jnp.asarray(tmp_enable),
-            *self._mirror, jnp.asarray(lp_pad), jnp.asarray(pvalid),
-            jnp.float32(3.0 if self.n_lost_frames > 0 else 1.0),
-            self._sf_dev, self._sig2_dev,
-            params=self.builder.orb, cam=cam, sensor=sensor,
-            close_th=float(cfg.close_depth_threshold),
-            depth_factor=float(cfg.depth_map_factor),
-            log_scale=float(np.log(cfg.orb.scale_factor)))
+            T_pred = se3_np.orthonormalize(
+                se3_np.compose(self.velocity, last.pose))
+            tmp_enable = bool(cfg.sensor != Sensor.MONOCULAR
+                              and self.localization_only
+                              and last.frame_id != self.last_kf_frame_id)
+            sensor = {Sensor.MONOCULAR: "mono", Sensor.RGBD: "rgbd",
+                      Sensor.STEREO: "stereo"}[cfg.sensor]
+            img_dev = jnp.asarray(img, jnp.float32)
+            if sensor == "rgbd":
+                aux = jnp.asarray(depth_map, jnp.float32)
+            elif sensor == "stereo":
+                aux = jnp.asarray(right_img, jnp.float32)
+            else:
+                aux = img_dev
+            ld = self._last_dev_arrays(last)
+            if timing:
+                jax.block_until_ready(list(ld.values()))
+                jax.block_until_ready(list(self._mirror))
+                jax.block_until_ready(img_dev)
+                t1b = _t()
+                print(f"  [fused-inputs ready: +{1e3*(t1b-t1):.1f} ms]",
+                      flush=True)
+            out = ES.track_frame_full(
+                img_dev, aux, jnp.asarray(T_pred), jnp.asarray(last.pose),
+                jnp.asarray(last.pt_idx), ld["xy"], ld["desc"], ld["octave"],
+                ld["angle"], ld["patch"], ld["valid"], ld["depth"],
+                jnp.asarray(tmp_enable),
+                *self._mirror, jnp.asarray(lp_pad), jnp.asarray(pvalid),
+                jnp.float32(3.0 if self.n_lost_frames > 0 else 1.0),
+                self._sf_dev, self._sig2_dev,
+                params=self.builder.orb, cam=cam, sensor=sensor,
+                close_th=float(cfg.close_depth_threshold),
+                depth_factor=float(cfg.depth_map_factor),
+                log_scale=float(np.log(cfg.orb.scale_factor)))
         t2 = _t()
 
         # one batched readback of everything EXCEPT the photometric windows
@@ -654,6 +670,18 @@ class Tracker:
         kp_mm_row = imat[:, 1]
         kp_src_arr = imat[:, 2]
 
+        # --- map-write critical section: binding decode, visibility
+        # bookkeeping, keyframe decision/creation ---
+        with mp.lock:
+            return self._track_fused_finish(
+                mp, cam, last, timestamp, T2, n_cand, n_mm, n_inl1_map,
+                n_inl2_map, kp_mm_row, kp_src_arr, fmat, imat, desc,
+                in_frustum, lp_pad, pvalid, best_kf, out)
+
+    def _track_fused_finish(self, mp, cam, last, timestamp, T2, n_cand, n_mm,
+                            n_inl1_map, n_inl2_map, kp_mm_row, kp_src_arr,
+                            fmat, imat, desc, in_frustum, lp_pad, pvalid,
+                            best_kf, out):
         frame = Frame(
             frame_id=self.builder._next_id, timestamp=timestamp,
             xy=fmat[:, 0:2].copy(), xy_raw=fmat[:, 2:4].copy(),

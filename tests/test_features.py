@@ -181,3 +181,31 @@ class TestMatching:
         keep = np.asarray(M.rotation_consistency(ang_a, ang_b, idx, valid))
         assert keep[:90].all()
         assert keep[90:].sum() <= 3
+
+
+class TestPallasKernels:
+    def test_hamming_pallas_parity(self):
+        """The Pallas Hamming kernel (TPU default since r3) must agree
+        bit-for-bit with the XLA expression. Runs the kernel in interpret
+        mode so the parity check executes on the CPU test mesh too."""
+        from orbslam2_tpu.ops import pallas_kernels as PK
+        rng = np.random.default_rng(7)
+        a = jnp.asarray(rng.integers(0, 2 ** 32, (256, 8), dtype=np.uint32))
+        b = jnp.asarray(rng.integers(0, 2 ** 32, (512, 8), dtype=np.uint32))
+        ref = np.asarray(jnp.sum(jax.lax.population_count(
+            jnp.bitwise_xor(a[:, None, :], b[None, :, :])), axis=-1))
+        out = np.asarray(PK.hamming_matrix_pallas(a, b, interpret=True))
+        assert (out == ref).all()
+
+    def test_pallas_default_on_for_tpu(self):
+        """pallas_enabled() is the dispatch gate: default-on when the
+        backend is TPU, opt-out via ORBSLAM2_TPU_PALLAS=0."""
+        import os
+        from orbslam2_tpu.ops import pallas_kernels as PK
+        on_tpu = jax.default_backend() == "tpu"
+        assert PK.pallas_enabled() == on_tpu
+        os.environ["ORBSLAM2_TPU_PALLAS"] = "0"
+        try:
+            assert not PK.pallas_enabled()
+        finally:
+            del os.environ["ORBSLAM2_TPU_PALLAS"]
