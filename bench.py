@@ -1,28 +1,31 @@
-"""Driver benchmark: tracked frames/s per chip on the fused tracking program.
+"""Driver benchmark: FULL-SYSTEM tracked frames/s per chip.
 
-Runs on the default platform (the real TPU chip under axon). Renders a
-synthetic corner-rich sequence with exact ground truth, builds a map from
-frame 0 (keypoints associated to known 3D scene points), then tracks every
-subsequent frame with the single-dispatch fused program
-(orbslam2_tpu.engine_step.tracking_step: pyramid FAST+BRIEF extraction ->
-projection-guided Hamming matching -> 4x10 LM pose optimization).
+Runs on the default platform (the real TPU chip under axon). The headline
+metric is the COMPLETE System — initialization, mapping, local BA,
+keyframes, loop machinery all live — on a synthetic textured-room sequence
+with exact ground truth, driven through the production block-pipelined
+sequence runner (tracking.Tracker.run_blocked: K frames per device
+dispatch, one batched readback per block; per-frame host bookkeeping,
+keyframe creation and mapping run between blocks).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline: the reference binary, built from /root/reference and run
 head-to-head on this machine (BASELINE.md "MEASURED baseline"), tracks at
-33.7 ms/frame median = 29.7 fps on CPU; we keep the 30 fps figure the
-reference also targets as its real-time budget (pacing loop
-Examples/Monocular/mono_tum.cc:97-105), so vs_baseline = fps / 30.
+33.7 ms/frame median on CPU — vs_baseline = 33.7 / median_ms_here. The
+value is gated on actually tracking (>=90% frames) so a fast-but-lost run
+cannot score.
 
-MEASUREMENT HYGIENE (matters enormously on remote-attached TPU runtimes):
-the timed loop must never read device data back to the host. On the axon
-relay, the first device->host transfer costs ~1 min of lazy transfer-path
-setup, and afterwards the process permanently drops into a
-round-trip-per-sync mode (~24 ms per blocking call, measured). So the map
-build runs as a jitted device program, all sanity checks read back only
-AFTER the timing loop, and the loop itself is async-dispatched with a
-single block_until_ready at the end (frames form a true dependency chain
-through the pose, as a pipelined production driver would run them).
+Round-3 measurement notes (VERDICT r2 items 2-3):
+- The r02 headline (0.065 ms/frame from an async-chained microbench) was
+  an artifact: on the axon relay jax.block_until_ready returns BEFORE the
+  queued work completes, so the loop measured dispatch enqueue only. The
+  microbench is still reported on stderr with HONEST semantics — a
+  per-frame pose readback (production latency: ~46 ms/frame measured,
+  dominated by the relay round trip, which is exactly why the production
+  driver amortizes it over K-frame blocks).
+- Median AND mean are reported; warmup (compile) frames are excluded from
+  the median per the reference's own convention of steady-state medians
+  (Examples/Monocular/mono_tum.cc:112-120).
 """
 import json
 import sys
@@ -31,126 +34,13 @@ import time
 import numpy as np
 
 
-def main():
-    import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    import jax.numpy as jnp
-    from orbslam2_tpu.config import OrbParams
-    from orbslam2_tpu.engine_step import tracking_step
-    from orbslam2_tpu.io import synth
-    from orbslam2_tpu.ops import features as F
-
-    params = OrbParams()
-    H, W = 480, 640
-    fx = fy = 500.0
-    cx, cy = 320.0, 240.0
-    N_WARM, N_MEAS, N_REP = 4, 40, 5
-
-    scene = synth.make_scene(seed=0, width=W, height=H, fx=fx, fy=fy)
-    gt = synth.orbit_trajectory(N_WARM + N_MEAS + 1)
-    sf = jnp.asarray(F.scale_factors(params))
-    sig2 = jnp.asarray(F.sigma2_per_octave(params))
-
-    # --- frame-0 map build, entirely on device: associate extracted
-    # keypoints to the known 3D squares they sit on (nearest projected
-    # scene point within the square's pixel footprint) ---
-    pc = scene.pts @ gt[0][:, :3].T + gt[0][:, 3]          # host numpy
-    u_s = (fx * pc[:, 0] / pc[:, 2] + cx).astype(np.float32)
-    v_s = (fy * pc[:, 1] / pc[:, 2] + cy).astype(np.float32)
-    half_px = (scene.size_world * fx / pc[:, 2]).astype(np.float32)
-
-    @jax.jit
-    def build_map(img0, scene_pts, u_s, v_s, half_px):
-        f0 = F.extract_orb(img0, params, H, W)
-        d2 = ((u_s[None, :] - f0.xy[:, 0:1]) ** 2
-              + (v_s[None, :] - f0.xy[:, 1:2]) ** 2)       # [K, S]
-        j = jnp.argmin(d2, axis=1)
-        dj = jnp.take_along_axis(d2, j[:, None], axis=1)[:, 0]
-        gate = f0.valid & (dj < (2.0 * half_px[j]) ** 2)
-        return scene_pts[j], f0.desc, f0.octave, gate
-
-    img0 = jnp.asarray(synth.render(scene, gt[0], seed=0))
-    pts_xyz, pt_desc, pt_oct, pt_valid = build_map(
-        img0, jnp.asarray(scene.pts.astype(np.float32)),
-        jnp.asarray(u_s), jnp.asarray(v_s), jnp.asarray(half_px))
-    n_map = jnp.sum(pt_valid)  # device scalar; read back after timing
-
-    args_static = dict(params=params, height=H, width=W, fx=fx, fy=fy,
-                       cx=cx, cy=cy, bf=0.0)
-    jp = (pts_xyz, pt_desc, pt_oct, pt_valid)
-
-    imgs = [jnp.asarray(synth.render(scene, gt[i], seed=i))
-            for i in range(1, N_WARM + N_MEAS + 1)]
-    T0 = jnp.asarray(gt[0])
-
-    # warmup (compile)
-    T = T0
-    for i in range(N_WARM):
-        T, ninl, _ = tracking_step(imgs[i], T, *jp, sf, sig2, **args_static)
-    jax.block_until_ready(T)
-
-    # async dispatch, one final sync per repeat: frames form a device-side
-    # dependency chain through T, so this measures true sequential
-    # per-frame device throughput with host/tunnel latency overlapped (as
-    # a pipelined production driver would run it). No readbacks inside.
-    per_frame_ms = []
-    ninls = []
-    for rep in range(N_REP):
-        T = T0
-        rep_ninls = []
-        t0 = time.perf_counter()
-        for i in range(N_WARM, N_WARM + N_MEAS):
-            T, ninl, _ = tracking_step(imgs[i], T, *jp, sf, sig2,
-                                       **args_static)
-            rep_ninls.append(ninl)
-        jax.block_until_ready(T)
-        per_frame_ms.append((time.perf_counter() - t0) / N_MEAS * 1e3)
-        if rep == 0:
-            ninls = rep_ninls
-
-    # ---- measurement over; readbacks are allowed from here on ----
-    med = float(np.median(per_frame_ms))
-    fps = 1000.0 / med
-    inl_hist = [int(x) for x in ninls]
-    med_inl = int(np.median(inl_hist))
-    map_ok = int(n_map) >= 100
-    # sanity: it must actually be tracking (enough inliers throughout)
-    tracking_ok = map_ok and med_inl >= 50
-    result = {
-        "metric": "tracked_frames_per_s_per_chip",
-        "value": round(fps, 2) if tracking_ok else 0.0,
-        "unit": "fps",
-        "vs_baseline": round(fps / 30.0, 3) if tracking_ok else 0.0,
-    }
-    print(json.dumps(result))
-    print(f"# median frame {med:.3f} ms (reps: "
-          f"{', '.join(f'{m:.3f}' for m in per_frame_ms)}), "
-          f"median inliers {med_inl}, map points {int(n_map)}, "
-          f"frames {N_MEAS}x{N_REP}, device {jax.devices()[0].platform}",
-          file=sys.stderr)
-
-    # --- secondary (stderr): FULL System throughput — init, mapping, BA,
-    # keyframes, loop machinery all live (tracking.Tracker._track_fused
-    # steady-state path). Not the headline metric; recorded for VERDICT
-    # item "full-System TPU fps". ---
-    try:
-        full = _full_system_fps()
-        print(f"# full-System: {full}", file=sys.stderr)
-    except Exception as e:  # never fail the bench on the secondary number
-        print(f"# full-System: failed ({type(e).__name__}: {e})",
-              file=sys.stderr)
-    return 0
-
-
-def _full_system_fps():
-    import time
-    import numpy as np
+def _full_system():
     from orbslam2_tpu.config import SlamConfig, Sensor, with_camera
     from orbslam2_tpu.io import synth
     from orbslam2_tpu.system import System
 
-    n_frames = 40
+    n_frames = 60
+    n_warm = 8    # compile + init frames excluded from the median
     scene = synth.make_room(seed=0)
     gt = synth.orbit_trajectory(n_frames)
     cfg = with_camera(
@@ -162,17 +52,121 @@ def _full_system_fps():
     slam = System(cfg)
     imgs = [np.clip(synth.render_room(scene, gt[i], seed=i), 0, 255
                     ).astype(np.uint8) for i in range(n_frames)]
-    times = []
-    tracked = 0
-    for i, img in enumerate(imgs):
-        t0 = time.perf_counter()
-        pose = slam.track_monocular(img, i / 30.0)
-        times.append(time.perf_counter() - t0)
-        tracked += pose is not None
-    med = float(np.median(times[5:]))  # skip compile warmup frames
-    return (f"median {med*1e3:.1f} ms/frame ({1.0/med:.1f} fps), "
-            f"tracked {tracked}/{n_frames}, "
-            f"keyframes {slam.map.n_keyframes}")
+    frames = [(i / 30.0, {"image": imgs[i]}) for i in range(n_frames)]
+    t0 = time.perf_counter()
+    tracked = slam.run_sequence(iter(frames), pipelined=True)
+    wall = time.perf_counter() - t0
+    times = np.array([r.track_ms for r in slam.metrics.records])
+    med = float(np.median(times[n_warm:]))
+    mean = float(times[n_warm:].mean())
+    # ATE sanity (exact ground truth)
+    ate = float("nan")
+    try:
+        from orbslam2_tpu.utils import evaluation as EV
+        ts, poses = slam.tracker.trajectory()
+        if len(poses) >= 10:
+            sel = np.clip(np.round(np.asarray(ts) * 30).astype(int), 0,
+                          n_frames - 1)
+            ate = float(EV.ate_rmse(EV.camera_centers(poses),
+                                    EV.camera_centers(gt[sel])))
+    except Exception:
+        pass
+    return dict(median_ms=med, mean_ms=mean, tracked=tracked, n=n_frames,
+                wall_s=wall, keyframes=slam.map.n_keyframes, ate_m=ate)
+
+
+def _microbench():
+    """Fused tracking-step kernel with HONEST per-frame readback semantics
+    (a per-frame np.asarray of the pose — production latency on this
+    runtime). Map frozen at frame 0: a kernel bench, not a system bench."""
+    import jax
+    import jax.numpy as jnp
+    from orbslam2_tpu.config import OrbParams
+    from orbslam2_tpu.engine_step import tracking_step
+    from orbslam2_tpu.io import synth
+    from orbslam2_tpu.ops import features as F
+
+    params = OrbParams()
+    H, W = 480, 640
+    fx = fy = 500.0
+    cx, cy = 320.0, 240.0
+    scene = synth.make_scene(seed=0, width=W, height=H, fx=fx, fy=fy)
+    gt = synth.orbit_trajectory(45)
+    sf = jnp.asarray(F.scale_factors(params))
+    sig2 = jnp.asarray(F.sigma2_per_octave(params))
+    pc = scene.pts @ gt[0][:, :3].T + gt[0][:, 3]
+    u_s = (fx * pc[:, 0] / pc[:, 2] + cx).astype(np.float32)
+    v_s = (fy * pc[:, 1] / pc[:, 2] + cy).astype(np.float32)
+    half_px = (scene.size_world * fx / pc[:, 2]).astype(np.float32)
+
+    @jax.jit
+    def build_map(img0, scene_pts, u_s, v_s, half_px):
+        f0 = F.extract_orb(img0, params, H, W)
+        d2 = ((u_s[None, :] - f0.xy[:, 0:1]) ** 2
+              + (v_s[None, :] - f0.xy[:, 1:2]) ** 2)
+        j = jnp.argmin(d2, axis=1)
+        dj = jnp.take_along_axis(d2, j[:, None], axis=1)[:, 0]
+        gate = f0.valid & (dj < (2.0 * half_px[j]) ** 2)
+        return scene_pts[j], f0.desc, f0.octave, gate
+
+    img0 = jnp.asarray(synth.render(scene, gt[0], seed=0))
+    jp = build_map(img0, jnp.asarray(scene.pts.astype(np.float32)),
+                   jnp.asarray(u_s), jnp.asarray(v_s), jnp.asarray(half_px))
+    args = dict(params=params, height=H, width=W, fx=fx, fy=fy, cx=cx,
+                cy=cy, bf=0.0)
+    imgs = [jnp.asarray(synth.render(scene, gt[i], seed=i))
+            for i in range(1, 45)]
+    T = jnp.asarray(gt[0])
+    for i in range(4):
+        T, ninl, _ = tracking_step(imgs[i], T, *jp, sf, sig2, **args)
+    _ = np.asarray(T)
+    # honest per-frame readback loop
+    T = jnp.asarray(gt[0])
+    inls = []
+    t0 = time.perf_counter()
+    for i in range(4, 44):
+        T, ninl, _ = tracking_step(imgs[i], T, *jp, sf, sig2, **args)
+        _ = np.asarray(T)
+        inls.append(ninl)
+    per_frame = (time.perf_counter() - t0) / 40 * 1e3
+    med_inl = int(np.median([int(x) for x in inls]))
+    return per_frame, med_inl
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    full = _full_system()
+    tracking_ok = full["tracked"] >= 0.9 * full["n"]
+    fps = 1000.0 / full["median_ms"] if full["median_ms"] > 0 else 0.0
+    REF_MEDIAN_MS = 33.7  # measured reference binary median (BASELINE.md)
+    result = {
+        "metric": "tracked_frames_per_s_per_chip",
+        "value": round(fps, 2) if tracking_ok else 0.0,
+        "unit": "fps",
+        "vs_baseline": (round(REF_MEDIAN_MS / full["median_ms"], 3)
+                        if tracking_ok else 0.0),
+    }
+    print(json.dumps(result))
+    print(f"# FULL SYSTEM: median {full['median_ms']:.1f} ms/frame "
+          f"(mean {full['mean_ms']:.1f}), tracked {full['tracked']}/"
+          f"{full['n']}, keyframes {full['keyframes']}, "
+          f"ATE {full['ate_m']*100:.2f} cm, wall {full['wall_s']:.1f} s, "
+          f"device {jax.devices()[0].platform}; vs_baseline = "
+          f"{REF_MEDIAN_MS} ms (measured reference median) / ours",
+          file=sys.stderr)
+    try:
+        micro_ms, med_inl = _microbench()
+        print(f"# microbench (map-frozen fused step, per-frame pose "
+              f"readback = production latency semantics): "
+              f"{micro_ms:.2f} ms/frame, median inliers {med_inl}",
+              file=sys.stderr)
+    except Exception as e:
+        print(f"# microbench failed ({type(e).__name__}: {e})",
+              file=sys.stderr)
+    return 0
 
 
 if __name__ == "__main__":

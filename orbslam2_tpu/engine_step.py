@@ -96,6 +96,12 @@ class TrackFrameOut(NamedTuple):
     desc: jnp.ndarray
     in_frustum: jnp.ndarray
     patch: jnp.ndarray
+    kp_pt: jnp.ndarray   # [N] i32 resolved map-point id per keypoint (-1) —
+    #                      lets the NEXT frame's program chain bindings
+    #                      device-side (pipelined driver, no host decode)
+    T_out: jnp.ndarray   # [3,4] final pose (same as hdr[12:24]; a separate
+    #                      leaf so the pipelined driver can chain it without
+    #                      touching the readback tensors)
 
 
 def _rgbd_depth(dm, xy_raw, und_x, cam, H: int, W: int):
@@ -150,7 +156,47 @@ def track_frame_full(img, aux, T_pred, T_last,
     lp_ids/lp_mask: the local-map slice (host-selected from covisibility).
     tmp_enable: traced bool — include temporal VO candidates
     (localization-only mode, Tracking::UpdateLastFrame).
+
+    T_pred may be [3,4] (the host's motion-model prediction) or [2,3,4]
+    (T_last_pose, T_prev_pose): in the latter case the constant-velocity
+    prediction T_pred = (T_last ∘ T_prev^-1) ∘ T_last is computed ON DEVICE
+    so the pipelined driver can chain frames without a host round trip
+    (Tracking::Track's mVelocity*mLastFrame.mTcw, src/Tracking.cpp:1166).
     """
+    if T_pred.ndim == 3:
+        T_pred = _predict_pose(T_pred[0], T_pred[1])
+    return _frame_core(img, aux, T_pred, T_last, last_pt, last_xy, last_desc,
+                       last_octave, last_angle, last_patch, last_valid,
+                       last_depth, tmp_enable, m_xyz, m_desc, m_patch,
+                       m_normal, m_mind, m_maxd, m_valid, lp_ids, lp_mask,
+                       lp_radius_th, sf, sig2, params, cam, sensor, close_th,
+                       depth_factor, log_scale)
+
+
+def _predict_pose(Tl, Tp):
+    """Constant-velocity prediction T_pred = (Tl ∘ Tp^-1) ∘ Tl with SO(3)
+    projection (f32 scale leakage compounds geometrically through the
+    recurrence — same rationale as se3_np.orthonormalize)."""
+    Rl, tl_ = Tl[:, :3], Tl[:, 3]
+    Rp, tp_ = Tp[:, :3], Tp[:, 3]
+    Rv = Rl @ Rp.T
+    tv = tl_ - Rv @ tp_
+    Rpred = Rv @ Rl
+    tpred = Rv @ tl_ + tv
+    U, _, Vt = jnp.linalg.svd(Rpred)
+    det = jnp.linalg.det(U @ Vt)
+    Rorth = U @ jnp.diag(jnp.stack([1.0 + 0 * det, 1.0 + 0 * det, det])) @ Vt
+    return jnp.concatenate([Rorth, tpred[:, None]], axis=1)
+
+
+def _frame_core(img, aux, T_pred, T_last,
+                last_pt, last_xy, last_desc, last_octave, last_angle,
+                last_patch, last_valid, last_depth, tmp_enable,
+                m_xyz, m_desc, m_patch, m_normal, m_mind, m_maxd, m_valid,
+                lp_ids, lp_mask, lp_radius_th, sf, sig2,
+                params: OrbParams, cam, sensor: str,
+                close_th: float, depth_factor: float, log_scale: float
+                ) -> TrackFrameOut:
     H, W = cam.height, cam.width
     N = last_pt.shape[0]
 
@@ -277,6 +323,14 @@ def track_frame_full(img, aux, T_pred, T_last,
     # final bindings post-prune
     kp_src = jnp.where(bound1, kp_mm, jnp.where(bound_lp, N + kp_lp, -1))
     kp_src = jnp.where(valid2 & ~inl2, -1, kp_src)
+    # resolved point id per keypoint (temporal VO slots stay -1) — the
+    # device-side equivalent of the host binding decode, so the pipelined
+    # driver can feed this straight into the next frame's `last_pt`
+    pt_mm = last_pt[jnp.clip(kp_mm, 0)]
+    kp_pt_out = jnp.where(
+        kp_src < 0, -1,
+        jnp.where(kp_src < N, pt_mm,
+                  lp_ids[jnp.clip(kp_src - N, 0, lp_ids.shape[0] - 1)]))
 
     hdr = jnp.concatenate([
         opt1.T.ravel(), opt2.T.ravel(),
@@ -294,4 +348,56 @@ def track_frame_full(img, aux, T_pred, T_last,
         in_frustum=in_frustum,
         # u8: matches the map's own window storage (MapState.kf_patch) and
         # is 4x cheaper to fetch; the host materializes it lazily
-        patch=jnp.clip(jnp.round(feats.patch), 0, 255).astype(jnp.uint8))
+        patch=jnp.clip(jnp.round(feats.patch), 0, 255).astype(jnp.uint8),
+        kp_pt=kp_pt_out.astype(jnp.int32), T_out=opt2.T)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("params", "cam", "sensor", "close_th", "depth_factor",
+                     "log_scale"))
+def track_frames_block(imgs, auxs, T_last, T_prev,
+                       last_pt, last_xy, last_desc, last_octave, last_angle,
+                       last_patch, last_valid, last_depth,
+                       m_xyz, m_desc, m_patch, m_normal, m_mind, m_maxd,
+                       m_valid, lp_ids, lp_mask, sf, sig2,
+                       params: OrbParams, cam, sensor: str,
+                       close_th: float, depth_factor: float, log_scale: float):
+    """K frames tracked in ONE device dispatch (lax.scan over _frame_core).
+
+    The TPU-native answer to a high-RTT remote-attached runtime: per-frame
+    compute is ~3 ms while every host round trip costs ~45-70 ms, so the
+    driver amortizes one dispatch + one batched readback over a K-frame
+    block. The pose/velocity recurrence and the binding chain live in the
+    scan carry; the local-map slice (lp_ids) is frozen for the block (it
+    changes only at keyframes — the host applies those between blocks, the
+    same lag the reference's concurrent LocalMapping thread has).
+
+    imgs: [K, H, W]; auxs: [K, ...] depth/right/imgs (by sensor).
+    Returns (TrackFrameOut stacked over K, chain) where chain is the tuple
+    of device arrays the next block consumes verbatim — no host hop, no
+    eager slicing.
+    """
+    f32_patch = last_patch.astype(jnp.float32)
+
+    def step(carry, inputs):
+        (Tl, Tp, c_pt, c_xy, c_desc, c_oct, c_ang, c_patch, c_valid,
+         c_depth) = carry
+        img, aux = inputs
+        T_pred = _predict_pose(Tl, Tp)
+        out = _frame_core(
+            img, aux, T_pred, Tl, c_pt, c_xy, c_desc, c_oct, c_ang,
+            c_patch, c_valid, c_depth, jnp.asarray(False),
+            m_xyz, m_desc, m_patch, m_normal, m_mind, m_maxd, m_valid,
+            lp_ids, lp_mask, jnp.float32(1.0), sf, sig2,
+            params, cam, sensor, close_th, depth_factor, log_scale)
+        carry2 = (out.T_out, Tl, out.kp_pt, out.fmat[:, 0:2], out.desc,
+                  out.imat[:, 0], out.fmat[:, 9],
+                  out.patch.astype(jnp.float32), out.imat[:, 4] != 0,
+                  out.fmat[:, 8])
+        return carry2, out
+
+    carry0 = (T_last, T_prev, last_pt, last_xy, last_desc, last_octave,
+              last_angle, f32_patch, last_valid, last_depth)
+    chain, outs = jax.lax.scan(step, carry0, (imgs, auxs))
+    return outs, chain

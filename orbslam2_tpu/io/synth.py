@@ -174,30 +174,56 @@ def _corner_texture(rng, size=1024, min_block=5, max_block=19):
     return tex.astype(np.float32)
 
 
+def _rich_texture(rng, size=1024):
+    """Corner texture with per-cell photometric variation: the plain blocky
+    texture's corners are locally near-identical (every 4-block junction
+    looks alike), which makes BRIEF descriptors ambiguous enough that a
+    0.7-ratio test (the reference's SearchByBoW) rejects most matches on a
+    mono bootstrap map. Overlaying a smooth low-frequency field plus
+    smoothed speckle makes each corner's 31x31 BRIEF support distinctive
+    while keeping the corner geometry (FAST responses) intact."""
+    tex = _corner_texture(rng, size)
+    coarse = rng.uniform(-60, 60, (size // 64 + 2, size // 64 + 2))
+    ramp = np.kron(coarse, np.ones((64, 64)))[:size, :size]
+    k = np.ones(33) / 33.0
+    ramp = np.apply_along_axis(lambda r: np.convolve(r, k, "same"), 0, ramp)
+    ramp = np.apply_along_axis(lambda r: np.convolve(r, k, "same"), 1, ramp)
+    speck = rng.uniform(-50, 50, (size, size))
+    k2 = np.array([0.25, 0.5, 0.25])
+    for _ in range(2):
+        speck = np.apply_along_axis(
+            lambda r: np.convolve(r, k2, "same"), 0, speck)
+        speck = np.apply_along_axis(
+            lambda r: np.convolve(r, k2, "same"), 1, speck)
+    return np.clip(tex + ramp + speck, 5, 250).astype(np.float32)
+
+
 def make_room(seed=0, width=640, height=480, fx=500.0, fy=500.0,
-              depth=8.0, half_w=4.5, half_h=3.0) -> RoomScene:
+              depth=8.0, half_w=4.5, half_h=3.0,
+              texture: str = "corner") -> RoomScene:
     rng = np.random.default_rng(seed)
+    tex_fn = _rich_texture if texture == "rich" else _corner_texture
     K = np.array([[fx, 0, width / 2], [0, fy, height / 2], [0, 0, 1]], np.float32)
     texel = 60.0  # texture pixels per meter
     planes = []
     # back wall at z = depth
     planes.append((np.array([0.0, 0.0, depth]), np.array([0.0, 0.0, -1.0]),
                    np.array([1.0, 0.0, 0.0]), np.array([0.0, 1.0, 0.0]),
-                   _corner_texture(rng), texel))
+                   tex_fn(rng), texel))
     # left wall at x = -half_w and right wall at x = +half_w
     planes.append((np.array([-half_w, 0.0, 0.0]), np.array([1.0, 0.0, 0.0]),
                    np.array([0.0, 0.0, 1.0]), np.array([0.0, 1.0, 0.0]),
-                   _corner_texture(rng), texel))
+                   tex_fn(rng), texel))
     planes.append((np.array([half_w, 0.0, 0.0]), np.array([-1.0, 0.0, 0.0]),
                    np.array([0.0, 0.0, 1.0]), np.array([0.0, 1.0, 0.0]),
-                   _corner_texture(rng), texel))
+                   tex_fn(rng), texel))
     # floor y = +half_h, ceiling y = -half_h
     planes.append((np.array([0.0, half_h, 0.0]), np.array([0.0, -1.0, 0.0]),
                    np.array([1.0, 0.0, 0.0]), np.array([0.0, 0.0, 1.0]),
-                   _corner_texture(rng), texel))
+                   tex_fn(rng), texel))
     planes.append((np.array([0.0, -half_h, 0.0]), np.array([0.0, 1.0, 0.0]),
                    np.array([1.0, 0.0, 0.0]), np.array([0.0, 0.0, 1.0]),
-                   _corner_texture(rng), texel))
+                   tex_fn(rng), texel))
     return RoomScene(planes, K, width, height)
 
 
@@ -311,15 +337,24 @@ def orbit_trajectory(n_frames: int, radius=0.8, forward=0.0, seed=0):
     return np.stack(poses)
 
 
-def sweep_trajectory(n_frames: int, amplitude=1.8, step=0.18):
-    """Constant-speed lateral zig-zag facing the back wall: the monocular
-    two-view-initialization workload. The per-frame baseline is `step`
-    meters; at the room's ~7 m dominant scene depth that is ~1.5 deg of
-    parallax per frame — above the >1 deg gate the reference initializer
-    applies to consecutive frames (ref src/Initializer.cpp ReconstructF/H
-    minParallax=1.0), unlike orbit_trajectory's ~0.1 deg/frame which can
-    never two-view initialize. Returns [F, 3, 4] Tcw."""
+def sweep_trajectory(n_frames: int, step=0.07, one_way=True, amplitude=1.8):
+    """Constant-speed lateral sweep facing the back wall: the monocular
+    two-view-initialization + tracking workload. One-way by default: the
+    reference's constant-velocity motion model loses tracking at zig-zag
+    reversals, and its initializer keeps the FIRST frame as reference while
+    >=100 matches persist, so parallax ACCUMULATES — step=0.07 m/frame
+    one-way over the rich-texture room with light noise is the measured
+    recipe where the reference binary initializes once and tracks the whole
+    sequence (BASELINE.md mono head-to-head). one_way=False restores the
+    r2 zig-zag. Returns [F, 3, 4] Tcw."""
     poses = []
+    if one_way:
+        for i in range(n_frames):
+            x = -0.5 * step * n_frames + step * i
+            C = np.array([x, 0.03 * np.sin(i * 0.5), 0.0], np.float32)
+            R = np.eye(3, dtype=np.float32)
+            poses.append(np.hstack([R, (-R @ C)[:, None]]).astype(np.float32))
+        return np.stack(poses)
     x, direction = 0.0, 1.0
     for i in range(n_frames):
         C = np.array([x, 0.04 * np.sin(i * 0.7), 0.0], np.float32)

@@ -23,6 +23,7 @@ from .map.mapstate import MapState
 from .ops import ba as BA
 from .ops import features as F
 from .ops import refine as RF
+from .utils import fetch
 
 
 def _bucket(n: int, buckets) -> int:
@@ -158,12 +159,13 @@ class LocalMapper:
             vmask = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
             delta, ok = RF.refine_offsets(
                 jnp.asarray(win), jnp.asarray(tpl), jnp.asarray(vmask))
-            ok = np.asarray(ok) & vmask
+            delta, ok = fetch(delta, ok)
+            ok = ok & vmask
             if not ok.any():
                 continue
             fo = fp[ok]
             lv = np.clip(mp.kf_octave[tkf, fo], 0, len(sf) - 1)
-            d = np.asarray(delta)[ok] * sf[lv][:, None]
+            d = delta[ok] * sf[lv][:, None]
             mp.kf_xy[tkf, fo] = mp.kf_xy0[tkf, fo] + d
             ur0 = mp.kf_ur0[tkf, fo]
             mp.kf_ur[tkf, fo] = np.where(ur0 >= 0, ur0 + d[:, 0], ur0)
@@ -193,12 +195,13 @@ class LocalMapper:
             vmask = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
             delta, ok = RF.refine_offsets(
                 jnp.asarray(win), jnp.asarray(tpl), jnp.asarray(vmask))
-            ok = np.asarray(ok) & vmask
+            delta, ok = fetch(delta, ok)
+            ok = ok & vmask
             if not ok.any():
                 continue
             ko, fo = kp[ok], fp[ok]
             lv = np.clip(mp.kf_octave[ko, fo], 0, len(sf) - 1)
-            d = np.asarray(delta)[ok] * sf[lv][:, None]
+            d = delta[ok] * sf[lv][:, None]
             mp.kf_xy[ko, fo] = mp.kf_xy0[ko, fo] + d
             ur0 = mp.kf_ur0[ko, fo]
             mp.kf_ur[ko, fo] = np.where(ur0 >= 0, ur0 + d[:, 0], ur0)
@@ -313,7 +316,7 @@ class LocalMapper:
         if dispatched is None:
             return
         neighbors, k_valid, out = dispatched
-        idx, X, ok, delta, okr = (np.asarray(a) for a in out)  # readback
+        idx, X, ok, delta, okr = fetch(*out)  # one batched readback
         with mp.lock:
             self._create_new_points_apply(kf, neighbors, k_valid,
                                           idx, X, ok, delta, okr)
@@ -435,7 +438,7 @@ class LocalMapper:
         if dispatched is None:
             return
         targets, tg, a_lp, b_lp, obs_counts, out = dispatched
-        idx_a, idx_b = (np.asarray(a) for a in out)  # readback, lock free
+        idx_a, idx_b = fetch(*out)  # one batched readback, lock free
         with mp.lock:
             self._fuse_apply(kf, targets, tg, a_lp, b_lp, obs_counts,
                              idx_a, idx_b)
@@ -601,9 +604,10 @@ class LocalMapper:
         res = BA.ba_solve(prob, cam_p.fx, cam_p.fy, cam_p.cx, cam_p.cy,
                           cam_p.bf, iters1=iters[0], iters2=iters[1])
         cam_arr, points = meta["cam_arr"], meta["points"]
-        new_T = np.asarray(res.cam_T)[:len(cam_arr)]
-        new_pts = np.asarray(res.pts)[:len(points)]
-        inl = np.asarray(res.e_inlier)[:meta["E_need"]]
+        new_T, new_pts, inl = fetch(res.cam_T, res.pts, res.e_inlier)
+        new_T = new_T[:len(cam_arr)]
+        new_pts = new_pts[:len(points)]
+        inl = inl[:meta["E_need"]]
         with mp.lock:
             fixed_set = meta["fixed_set"]
             kf_of_e, fi = meta["kf_of_e"], meta["fi"]

@@ -142,7 +142,37 @@ class LoopCloser:
                                 fix_scale=fix_scale)
             if int(sr.n_inliers) < 20:  # :409-412
                 continue
-            # GN refinement over the RANSAC inliers
+            # guided bidirectional Sim3 matching between RANSAC and the GN
+            # refinement (ORBmatcher::SearchBySim3, src/ORBmatcher.cpp:1305,
+            # called at src/LoopClosing.cpp:402): expand the correspondence
+            # set the Sim3 is refined on
+            e1, e2 = self._search_by_sim3(
+                kf, kc, float(sr.s), np.asarray(sr.R), np.asarray(sr.t),
+                i1[:n], i2[:n])
+            n_extra = len(e1) - n
+            if n_extra > 0:
+                p_w1 = mp.pt_xyz[mp.kf_pt[kf, e1]]
+                p_w2 = mp.pt_xyz[mp.kf_pt[kc, e2]]
+                P1 = p_w1 @ T1[:, :3].T + T1[:, 3]
+                P2 = p_w2 @ T2[:, :3].T + T2[:, 3]
+                n2 = min(len(e1), cap)
+                pad = cap - n2
+                P1p = np.concatenate([P1[:n2], np.zeros((pad, 3), np.float32)])
+                P2p = np.concatenate([P2[:n2], np.zeros((pad, 3), np.float32)])
+                s1 = np.concatenate([
+                    self.sigma2[np.clip(mp.kf_octave[kf, e1[:n2]], 0, 7)],
+                    np.ones(pad, np.float32)])
+                s2 = np.concatenate([
+                    self.sigma2[np.clip(mp.kf_octave[kc, e2[:n2]], 0, 7)],
+                    np.ones(pad, np.float32)])
+                vmask = np.concatenate([np.ones(n2, bool), np.zeros(pad, bool)])
+                inl_in = np.zeros(cap, bool)
+                inl_in[:n] = np.asarray(sr.inliers)[:n]
+                inl_in[n:n2] = True  # new guided pairs start trusted; the
+                #                      GN refinement re-classifies them
+            else:
+                inl_in = np.asarray(sr.inliers) & vmask
+            # GN refinement over the (expanded) correspondences
             # (Optimizer::OptimizeSim3, src/Optimizer.cpp:1281)
             s_o, R_o, t_o, inl_o, n_o = S3.optimize_sim3(
                 sr.s, sr.R, sr.t, jnp.asarray(P1p.astype(np.float32)),
@@ -156,7 +186,7 @@ class LoopCloser:
                     cam.fy * P2p[:, 1] / np.maximum(P2p[:, 2], 1e-6) + cam.cy], -1)
                 ).astype(np.float32)),
                 jnp.asarray(s1), jnp.asarray(s2),
-                jnp.asarray(np.asarray(sr.inliers) & vmask),
+                jnp.asarray(inl_in),
                 cam.fx, cam.fy, cam.cx, cam.cy, fix_scale=fix_scale)
             if int(n_o) < 20:
                 continue
@@ -170,6 +200,95 @@ class LoopCloser:
             self._correct_loop(kf, kc, s12, R12, t12)
             return True
         return False
+
+    def _search_by_sim3(self, kf: int, kc: int, s12, R12, t12,
+                        i1: np.ndarray, i2: np.ndarray):
+        """Guided bidirectional Sim3 matching (ORBmatcher::SearchBySim3,
+        src/ORBmatcher.cpp:1305-1560, called at src/LoopClosing.cpp:402):
+        project kc's map points into kf through S12 and kf's into kc through
+        S12^-1, match by descriptor within a scale-predicted radius (7.5 ·
+        scale), and accept pairs that AGREE in both directions. Returns the
+        (i1, i2) match set EXPANDED with the new mutual pairs — on marginal
+        loops this roughly doubles the correspondences the Sim3 refinement
+        sees, the difference between >=20 inliers and a rejected closure."""
+        mp = self.map
+        cam = self.cfg.camera
+        from .ops import matching as M
+        sf = F.scale_factors(self.cfg.orb)
+        log_scale = float(np.log(self.cfg.orb.scale_factor))
+
+        def project_and_match(src_kf, dst_kf, s, R, t, skip_src, skip_dst):
+            """Project src_kf's bound points through the similarity into
+            dst_kf's features; returns (src_feat, dst_feat) match arrays."""
+            feats = np.flatnonzero((mp.kf_pt[src_kf] >= 0) & ~skip_src)
+            if len(feats) == 0:
+                return np.zeros(0, np.int64), np.zeros(0, np.int64)
+            pts = mp.kf_pt[src_kf, feats]
+            live = mp.pt_valid[pts]
+            feats, pts = feats[live], pts[live]
+            if len(feats) == 0:
+                return np.zeros(0, np.int64), np.zeros(0, np.int64)
+            T_src = mp.kf_pose[src_kf]
+            Xc_src = mp.pt_xyz[pts] @ T_src[:, :3].T + T_src[:, 3]
+            Xc_dst = s * (Xc_src @ R.T) + t
+            z = Xc_dst[:, 2]
+            u = cam.fx * Xc_dst[:, 0] / np.maximum(z, 1e-6) + cam.cx
+            v = cam.fy * Xc_dst[:, 1] / np.maximum(z, 1e-6) + cam.cy
+            dist = np.linalg.norm(Xc_dst, axis=-1) / s  # SE3-demoted depth
+            band = ((dist >= 0.8 * mp.pt_min_dist[pts])
+                    & (dist <= 1.2 * mp.pt_max_dist[pts]))
+            ok = (z > 0.1) & (u >= 0) & (u < cam.width) & (v >= 0) \
+                & (v < cam.height) & band
+            sel = np.flatnonzero(ok)
+            if len(sel) == 0:
+                return np.zeros(0, np.int64), np.zeros(0, np.int64)
+            ratio = np.maximum(mp.pt_max_dist[pts[sel]], 1e-9) / \
+                np.maximum(dist[sel], 1e-9)
+            pred = np.clip(np.ceil(np.log(ratio) / log_scale), 0,
+                           self.cfg.orb.n_levels - 1).astype(np.int32)
+            cap = 1024
+            sel = sel[:cap]
+            pad = cap - len(sel)
+            uvp = np.concatenate([np.stack([u[sel], v[sel]], -1),
+                                  np.zeros((pad, 2))]).astype(np.float32)
+            descp = np.concatenate([mp.pt_desc[pts[sel]],
+                                    np.zeros((pad, 8), np.uint32)])
+            predp = np.concatenate([pred[:len(sel)], np.zeros(pad, np.int32)])
+            pv = np.concatenate([np.ones(len(sel), bool), np.zeros(pad, bool)])
+            res = M.search_by_projection(
+                jnp.asarray(uvp), jnp.asarray(predp),
+                jnp.full(cap, 7.5), jnp.asarray(descp), jnp.asarray(pv),
+                jnp.asarray(mp.kf_xy[dst_kf]), jnp.asarray(mp.kf_octave[dst_kf]),
+                jnp.asarray(mp.kf_desc[dst_kf]),
+                jnp.asarray(mp.kf_feat_valid[dst_kf] & ~skip_dst),
+                jnp.asarray(sf), max_dist=M.TH_HIGH, ratio=None,
+                level_window=(-1, 0))
+            midx = np.asarray(res.idx)[:len(sel)]
+            got = midx >= 0
+            return feats[sel[got]], midx[got].astype(np.int64)
+
+        skip1 = np.zeros(mp.kf_pt.shape[1], bool)
+        skip2 = np.zeros(mp.kf_pt.shape[1], bool)
+        skip1[i1] = True
+        skip2[i2] = True
+        # direction 1->2 projects kf's points through S21 into kc; 2->1
+        # projects kc's points through S12 into kf
+        s21 = 1.0 / s12
+        R21 = R12.T
+        t21 = -s21 * (R12.T @ t12)
+        a1, a2 = project_and_match(kf, kc, s21, R21, t21, skip1, skip2)
+        b2, b1 = project_and_match(kc, kf, s12, R12, t12, skip2, skip1)
+        # mutual agreement (:1520-1540)
+        fwd = {int(x): int(y) for x, y in zip(a1, a2)}
+        extra1, extra2 = [], []
+        for f2, f1 in zip(b2, b1):
+            if fwd.get(int(f1), -1) == int(f2):
+                extra1.append(int(f1))
+                extra2.append(int(f2))
+        if not extra1:
+            return i1, i2
+        return (np.concatenate([i1, np.asarray(extra1, i1.dtype)]),
+                np.concatenate([i2, np.asarray(extra2, i2.dtype)]))
 
     def _loop_points(self, kc: int) -> np.ndarray:
         mp = self.map

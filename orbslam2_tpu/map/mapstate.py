@@ -92,6 +92,7 @@ class MapState:
         self.next_pt_id: int = 0
         self._pt_free: list[int] = []
         self._pt_pending: list[int] = []
+        self._pt_pending2: list[int] = []
         self.pt_redirect = np.full(self.pt_xyz.shape[0], -1, np.int32)
         # point-geometry generation counter: bumped whenever pt_xyz/pt_desc/
         # pt_normal/pt_patch/dist bands/pt_valid change, so the tracker's
@@ -162,6 +163,27 @@ class MapState:
         self.__post_init_extra__()
 
     # ------------------------------------------------------------------ slots
+    def _grow(self, fields: tuple, axis0_new: int):
+        """Double the capacity of the given SoA arrays along axis 0,
+        preserving each field's empty-slot fill value."""
+        fills = {"kf_pt": -1, "kf_parent": -1, "kf_frame_id": -1,
+                 "pt_ref_kf": -1, "pt_first_kf": -1, "pt_redirect": -1,
+                 "kf_depth": -1.0, "kf_ur": -1.0, "kf_ur0": -1.0,
+                 "pt_visible": 1.0, "pt_found": 1.0}
+        for name in fields:
+            a = getattr(self, name)
+            extra = np.full((axis0_new - a.shape[0],) + a.shape[1:],
+                            fills.get(name, 0), a.dtype)
+            setattr(self, name, np.concatenate([a, extra]))
+
+    _KF_FIELDS = ("kf_valid", "kf_pose", "kf_timestamp", "kf_frame_id",
+                  "kf_xy", "kf_octave", "kf_angle", "kf_desc", "kf_depth",
+                  "kf_ur", "kf_feat_valid", "kf_pt", "kf_parent", "kf_patch",
+                  "kf_xy0", "kf_ur0")
+    _PT_FIELDS = ("pt_valid", "pt_xyz", "pt_desc", "pt_normal",
+                  "pt_min_dist", "pt_max_dist", "pt_ref_kf", "pt_first_kf",
+                  "pt_visible", "pt_found", "pt_patch", "pt_redirect")
+
     def alloc_kf(self) -> int:
         """Monotonic slot allocation — culled slots are NEVER reused.
 
@@ -169,37 +191,48 @@ class MapState:
         kf_retired anchor chains, the tracker's frame_log reference-KF ids,
         and loop edges would all resolve through the NEW occupant's pose
         (the reference avoids this class of bug with pointer identity).
-        The cost is that max_keyframes bounds keyframes *ever created*, not
-        live ones — acceptable since culled KFs are a small fraction."""
+        max_keyframes is only the INITIAL capacity: when the monotonic
+        counter reaches it, every [K, ...] array doubles (KITTI-scale runs
+        create 1500+ keyframes — VERDICT r2 item 6). Doubling keeps ids
+        stable; jitted programs keyed on keyframe-array shapes recompile
+        once per doubling."""
         k = self.next_kf_id
         if k >= self.kf_valid.shape[0]:
-            raise RuntimeError("keyframe capacity exhausted")
+            self._grow(self._KF_FIELDS, 2 * self.kf_valid.shape[0])
         return k
 
     def alloc_points(self, n: int) -> np.ndarray:
         """Allocate n point slots: recycled (released) slots first, then
-        fresh ones. Slots in quarantine (_pt_pending) are NOT candidates."""
+        fresh ones (capacity doubles when exhausted — ids stay stable).
+        Slots in quarantine (_pt_pending) are NOT candidates."""
         take = min(n, len(self._pt_free))
         out = self._pt_free[:take]
         del self._pt_free[:take]
         fresh = n - take
         if self.next_pt_id + fresh > self.pt_valid.shape[0]:
-            self._pt_free[:0] = out  # undo
-            raise RuntimeError("point capacity exhausted")
+            self._grow(self._PT_FIELDS, 2 * self.pt_valid.shape[0])
+            # the device point mirror must be rebuilt at the new shape
+            self.generation += 1
+            self._dirty_pts = None
         if fresh:
             out = out + list(range(self.next_pt_id, self.next_pt_id + fresh))
             self.next_pt_id += fresh
         return np.asarray(out, np.int64)
 
     def release_retired_points(self):
-        """Make quarantined point slots allocatable again. Call ONLY after
-        every live frame's pt_idx has been scrubbed (resolve_point_ids) —
-        the tracker does this at the top of each track() call."""
-        if not self._pt_pending:
+        """Advance the quarantine one stage: slots retired before the
+        PREVIOUS call become allocatable; freshly retired slots wait one
+        more call. Two stages so the pipelined tracker's in-flight device
+        binding chain (depth 1 — one frame dispatched before the previous
+        frame's ids are scrubbed) can never see a recycled slot. The sync
+        path just releases one frame later than before (harmless)."""
+        ready = self._pt_pending2
+        self._pt_pending2 = self._pt_pending
+        self._pt_pending = []
+        if not ready:
             return
-        self.pt_redirect[self._pt_pending] = -1
-        self._pt_free.extend(self._pt_pending)
-        self._pt_pending.clear()
+        self.pt_redirect[ready] = -1
+        self._pt_free.extend(ready)
 
     def resolve_point_ids(self, ids: np.ndarray) -> np.ndarray:
         """Map possibly-stale point ids to live ones: follow replacement
@@ -281,7 +314,37 @@ class MapState:
     def remove_keyframe(self, k: int):
         """KeyFrame::SetBadFlag (src/KeyFrame.cpp:567): invalidate the slot
         and record the relative pose to a surviving anchor so frame
-        trajectories referencing this KF stay recoverable."""
+        trajectories referencing this KF stay recoverable. Children in the
+        spanning tree are REPARENTED before the slot dies (the reference's
+        greedy loop, src/KeyFrame.cpp:581-660: each child adopts its most
+        covisible candidate among the dead KF's parent and the already
+        reparented siblings) so GBA late-KF correction and PGO edges keep a
+        connected tree as the map ages."""
+        children = np.flatnonzero(self.kf_valid & (self.kf_parent == k))
+        if len(children):
+            parent = int(self.kf_parent[k])
+            candidates = [parent] if parent >= 0 and self.kf_valid[parent] \
+                else []
+            remaining = set(int(c) for c in children)
+            while remaining:
+                best = (-1, -1, -1)  # (weight, child, candidate)
+                if candidates:
+                    for c in list(remaining):
+                        w = self.covisibility_weights(c)
+                        for cand in candidates:
+                            if w[cand] > best[0]:
+                                best = (int(w[cand]), c, cand)
+                if best[0] > 0:
+                    _, c, cand = best
+                    self.kf_parent[c] = cand
+                    candidates.append(c)
+                    remaining.discard(c)
+                else:
+                    # no covisibility link to any candidate: fall back to
+                    # the dead KF's parent (src/KeyFrame.cpp:649-656)
+                    for c in remaining:
+                        self.kf_parent[c] = parent if parent >= 0 else -1
+                    break
         anchor = self._anchor_for(k)
         if anchor >= 0:
             Tk = self.kf_pose[k]
@@ -355,11 +418,14 @@ class MapState:
     def replace_point(self, old: int, new: int):
         """MapPoint::Replace (src/MapPoint.cpp:212): redirect observations of
         `old` to `new` (skipping keyframes that already see `new`), keep
-        visibility stats."""
-        sees_new = (self.kf_pt == new).any(axis=1)
-        rows, cols = np.where(self.kf_pt == old)
+        visibility stats. Scans only live keyframe rows — fuse calls this
+        ~100x per keyframe and a full-capacity scan was 3 ms/call."""
+        live = np.flatnonzero(self.kf_valid)
+        sub = self.kf_pt[live]
+        sees_new = (sub == new).any(axis=1)
+        rows, cols = np.where(sub == old)
         for r, c in zip(rows, cols):
-            self.kf_pt[r, c] = -1 if sees_new[r] else new
+            self.kf_pt[live[r], c] = -1 if sees_new[r] else new
         self.pt_found[new] += self.pt_found[old]
         self.pt_visible[new] += self.pt_visible[old]
         self.pt_valid[old] = False

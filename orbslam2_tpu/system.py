@@ -157,17 +157,44 @@ class System:
             created_keyframe=self.map.n_keyframes != kfs_before)
         return pose
 
-    def run_sequence(self, frames, progress_every: int = 0):
-        """Sequence runner. Steady-state frames go through the fused
-        single-dispatch tracking program (tracking.Tracker._track_fused) —
-        one device program + one batched readback per frame, so there is
-        nothing left to pipeline at the driver level.
+    def run_sequence(self, frames, progress_every: int = 0,
+                     pipelined: bool = True):
+        """Sequence runner.
+
+        pipelined=True (default): depth-1 software pipeline — frame i+1 is
+        dispatched before frame i's readback (tracking.Tracker.run_pipelined),
+        so sequence throughput is bounded by device compute, not by the
+        host<->device round-trip (decisive on remote-attached TPU runtimes).
+        Poses are identical to the synchronous path while the motion model
+        holds; init/loss/relocalization fall back to the sync path
+        automatically. pipelined=False: one fused dispatch + blocking
+        readback per frame (lowest per-frame latency).
 
         frames: iterable of (timestamp, dict) with keys image [+depth|right].
         Returns the number of tracked frames.
         """
+        import time as _t
         tracked = 0
         n = 0
+        if pipelined and not self.localization_mode_active:
+            for ts, pose in self.tracker.run_blocked(frames, self._gray):
+                # amortized per-frame cost (block share + own finish time),
+                # maintained by the driver — the raw yield-to-yield gap
+                # would charge a whole block to its first frame
+                dt = self.tracker.last_frame_ms
+                self.metrics.append(
+                    frame_id=len(self.metrics.records), timestamp=ts,
+                    state=self.tracker.state.name,
+                    inliers=self.tracker.matches_inliers,
+                    keyframes=self.map.n_keyframes,
+                    points=self.map.n_points,
+                    loops=self.loop_closer.n_loops_closed, track_ms=dt,
+                    created_keyframe=False)
+                tracked += int(pose is not None)
+                n += 1
+                if progress_every and n % progress_every == 0:
+                    print(f"frame {n}: {self.map_stats()}", flush=True)
+            return tracked
         for ts, data in frames:
             gray = self._gray(data["image"])
             pose = self._tracked(ts, lambda: self.tracker.process_image(
@@ -180,6 +207,10 @@ class System:
             if progress_every and n % progress_every == 0:
                 print(f"frame {n}: {self.map_stats()}", flush=True)
         return tracked
+
+    @property
+    def localization_mode_active(self) -> bool:
+        return self.tracker.localization_only
 
     @staticmethod
     def _gray(img: np.ndarray) -> np.ndarray:

@@ -53,9 +53,16 @@ def _np(x):
 def _ensure_patch(frame: Frame):
     """Materialize a fused frame's photometric windows from the device
     (deferred: they are ~1 MB/frame and only needed for fallback matching,
-    keyframe creation, or re-upload after a broken device chain)."""
+    keyframe creation, or re-upload after a broken device chain). The block
+    driver stores (stacked [K,N,15,15] handle, k) to avoid per-frame eager
+    device slicing."""
     if frame.patch is None and getattr(frame, "_patch_dev", None) is not None:
-        frame.patch = np.asarray(frame._patch_dev).astype(np.float32)
+        pd = frame._patch_dev
+        if isinstance(pd, tuple):
+            stacked, k = pd
+            frame.patch = np.asarray(stacked[k]).astype(np.float32)
+        else:
+            frame.patch = np.asarray(pd).astype(np.float32)
         frame._patch_dev = None
 
 
@@ -99,6 +106,10 @@ class Tracker:
         self._last_dev_frame_id = -1
         self._sf_dev = jnp.asarray(self.sf)
         self._sig2_dev = jnp.asarray(self.sigma2)
+        # pipelined-driver chain state (run_pipelined)
+        self._pipe: dict = {}
+        self._pipe_gen = 0
+        self._pipe_seeded = False
 
     # ------------------------------------------------------------------ utils
     def _next_key(self):
@@ -672,16 +683,20 @@ class Tracker:
 
         # --- map-write critical section: binding decode, visibility
         # bookkeeping, keyframe decision/creation ---
+        t3 = _t()
         with mp.lock:
-            return self._track_fused_finish(
+            r = self._track_fused_finish(
                 mp, cam, last, timestamp, T2, n_cand, n_mm, n_inl1_map,
                 n_inl2_map, kp_mm_row, kp_src_arr, fmat, imat, desc,
                 in_frustum, lp_pad, pvalid, best_kf, out)
+        if timing:
+            print(f"  [finish: {1e3*(_t()-t3):.1f} ms]", flush=True)
+        return r
 
     def _track_fused_finish(self, mp, cam, last, timestamp, T2, n_cand, n_mm,
                             n_inl1_map, n_inl2_map, kp_mm_row, kp_src_arr,
                             fmat, imat, desc, in_frustum, lp_pad, pvalid,
-                            best_kf, out):
+                            best_kf, out, kp_pt=None, patch_dev=None):
         frame = Frame(
             frame_id=self.builder._next_id, timestamp=timestamp,
             xy=fmat[:, 0:2].copy(), xy_raw=fmat[:, 2:4].copy(),
@@ -690,7 +705,10 @@ class Tracker:
             valid=imat[:, 4] != 0, depth=fmat[:, 8].copy(),
             ur=fmat[:, 6].copy(), patch=None,
             xy0=fmat[:, 4:6].copy(), ur0=fmat[:, 7].copy())
-        frame._patch_dev = out.patch
+        # out may be None (block driver: patch handle supplied via
+        # patch_dev as a (stacked, k) tuple, chaining handled by the block
+        # carry)
+        frame._patch_dev = out.patch if out is not None else patch_dev
         self.builder._next_id += 1
         frame._refined = imat[:, 3] != 0
 
@@ -707,16 +725,23 @@ class Tracker:
             return self._finish_frame(frame, ok)
 
         # decode final bindings: kp_src is a last-frame slot (< N) or
-        # N + local-map row
+        # N + local-map row. When the device already resolved the bindings
+        # (pipelined driver: out.kp_pt), use them verbatim — they are the
+        # ids the in-flight chain actually carries.
         src = kp_src_arr
         is_mm = (src >= 0) & (src < N)
-        is_lp = src >= N
-        pt_from_mm = last.pt_idx[np.clip(src, 0, N - 1)]
-        frame.pt_idx = np.where(
-            is_mm, pt_from_mm,
-            np.where(is_lp, lp_pad[np.clip(src - N, 0, len(lp_pad) - 1)], -1)
-        ).astype(np.int32)
-        tmp_kp = is_mm & (pt_from_mm < 0)
+        if kp_pt is not None:
+            frame.pt_idx = kp_pt.astype(np.int32).copy()
+            tmp_kp = is_mm & (kp_pt < 0)
+        else:
+            is_lp = src >= N
+            pt_from_mm = last.pt_idx[np.clip(src, 0, N - 1)]
+            frame.pt_idx = np.where(
+                is_mm, pt_from_mm,
+                np.where(is_lp,
+                         lp_pad[np.clip(src - N, 0, len(lp_pad) - 1)], -1)
+            ).astype(np.int32)
+            tmp_kp = is_mm & (pt_from_mm < 0)
         frame.pt_idx[tmp_kp] = -1
         frame.tmp_valid = tmp_kp
         if tmp_kp.any():
@@ -744,7 +769,7 @@ class Tracker:
         self.matches_inliers = n_inl
         need = 50 if self.n_lost_frames > 0 else 30
         ok = n_inl >= need
-        if ok:
+        if ok and out is not None:
             # chain this frame's device arrays into the next fused call
             # (cheap on-device slices of the packed outputs; no host hop)
             self._last_dev = dict(
@@ -755,6 +780,308 @@ class Tracker:
         else:
             self._last_dev = None
         return self._finish_frame(frame, ok)
+
+    # --------------------------------------------------------- pipelined driver
+    def run_pipelined(self, frames, to_gray):
+        """Depth-1 pipelined steady-state driver: frame i+1 is DISPATCHED
+        before frame i's results are read back, so the per-frame wall time
+        is bounded by device compute + transfer bandwidth instead of the
+        host<->device round-trip latency (decisive on remote-attached TPU
+        runtimes, ~70 ms RTT measured). The pose/velocity recurrence and
+        the binding chain stay on device (track_frame_full computes
+        T_pred = vel∘T_last in-program and emits kp_pt); the host finishes
+        frame i (bookkeeping, keyframe decision, mapping) while the device
+        works on frame i+1 — the reference's concurrent-LocalMapping
+        overlap, expressed as software pipelining.
+
+        frames: iterable of (ts, {"image", ["depth"|"right"]}). Yields
+        (ts, pose|None) in order, one frame behind the dispatch front.
+        Falls back to the synchronous paths for init, loss, relocalization
+        and localization-only mode."""
+        inflight = None
+
+        def finish_inflight():
+            nonlocal inflight
+            if inflight is None:
+                return None
+            ctx, inflight = inflight, None
+            return self._pipe_finish(ctx)
+
+        for ts, data in frames:
+            gray = to_gray(data["image"])
+            depth = data.get("depth")
+            right = to_gray(data["right"]) if "right" in data else None
+            can_pipe = (self.state == TrackState.OK
+                        and self.last_frame is not None
+                        and self.last_frame.pose is not None
+                        and self.velocity is not None
+                        and not self.localization_only)
+            ctx = (self._pipe_dispatch(gray, ts, depth, right)
+                   if can_pipe else None)
+            r = finish_inflight()
+            if r is not None:
+                yield r
+            if ctx is not None and ctx["chain_gen"] != self._pipe_gen:
+                # the frame we just finished broke the chain (loss /
+                # fallback): the dispatch we made is predicated on garbage
+                ctx = None
+            if ctx is None:
+                # synchronous frame (init, fallback, reloc, or re-track of
+                # a discarded dispatch)
+                pose = self.process_image(gray, ts, depth_map=depth,
+                                          right_img=right)
+                self._pipe_seeded = False
+                yield ts, pose
+                continue
+            inflight = ctx
+        r = finish_inflight()
+        if r is not None:
+            yield r
+
+    def _pipe_seed(self):
+        """Start (or re-start) the device chain from the last finished
+        frame's host state."""
+        last = self.last_frame
+        with self.map.lock:
+            last.pt_idx = self.map.resolve_point_ids(last.pt_idx)
+            ld = self._last_dev_arrays(last)
+        T_last = jnp.asarray(last.pose)
+        T_prev = jnp.asarray(se3_np.compose(
+            se3_np.inverse(self.velocity), last.pose).astype(np.float32))
+        self._pipe = dict(ld=ld, T_last=T_last, T_prev=T_prev,
+                          last_pt=jnp.asarray(last.pt_idx),
+                          bindings=last.pt_idx)
+        self._pipe_seeded = True
+
+    def _pipe_dispatch(self, img, ts, depth_map, right_img):
+        """Host prep + async dispatch of one pipelined frame (no readback).
+        Returns a ctx for _pipe_finish, or None if the pipeline cannot run
+        this frame (falls back to the sync path)."""
+        if not getattr(self, "_pipe_seeded", False):
+            self._pipe_seed()
+        mp = self.map
+        cfg = self.cfg
+        cam = cfg.camera
+        st = self._pipe
+        with mp.lock:
+            self._refresh_mirror()
+            lp_pad, pvalid, best_kf = self._select_local_points(st["bindings"])
+            if lp_pad is None:
+                return None
+            sensor = {Sensor.MONOCULAR: "mono", Sensor.RGBD: "rgbd",
+                      Sensor.STEREO: "stereo"}[cfg.sensor]
+            img_dev = jnp.asarray(img, jnp.float32)
+            if sensor == "rgbd":
+                aux = jnp.asarray(depth_map, jnp.float32)
+            elif sensor == "stereo":
+                aux = jnp.asarray(right_img, jnp.float32)
+            else:
+                aux = img_dev
+            T_stack = jnp.stack([st["T_last"], st["T_prev"]])
+            out = ES.track_frame_full(
+                img_dev, aux, T_stack, st["T_last"],
+                st["last_pt"], st["ld"]["xy"], st["ld"]["desc"],
+                st["ld"]["octave"], st["ld"]["angle"], st["ld"]["patch"],
+                st["ld"]["valid"], st["ld"]["depth"],
+                jnp.asarray(False),
+                *self._mirror, jnp.asarray(lp_pad), jnp.asarray(pvalid),
+                jnp.float32(1.0), self._sf_dev, self._sig2_dev,
+                params=self.builder.orb, cam=cam, sensor=sensor,
+                close_th=float(cfg.close_depth_threshold),
+                depth_factor=float(cfg.depth_map_factor),
+                log_scale=float(np.log(cfg.orb.scale_factor)))
+        # chain device handles for the NEXT dispatch immediately
+        st["T_prev"] = st["T_last"]
+        st["T_last"] = out.T_out
+        st["last_pt"] = out.kp_pt
+        st["ld"] = dict(xy=out.fmat[:, 0:2], desc=out.desc,
+                        octave=out.imat[:, 0], angle=out.fmat[:, 9],
+                        patch=out.patch, valid=out.imat[:, 4] != 0,
+                        depth=out.fmat[:, 8])
+        # NOTE: copies are NOT started here — copy_to_host_async on a
+        # not-yet-computed array degrades to a synchronous round trip per
+        # leaf on the relay (measured); _pipe_finish blocks on hdr first.
+        return dict(out=out, ts=ts, lp_pad=lp_pad, pvalid=pvalid,
+                    best_kf=best_kf, chain_gen=self._pipe_gen,
+                    last_frame=self.last_frame)
+
+    def _pipe_finish(self, ctx):
+        """Read back a dispatched frame (usually already arrived) and run
+        the host bookkeeping: binding adoption, visibility counters, state
+        machine, keyframe decision + mapping."""
+        from .utils import fetch
+        out = ctx["out"]
+        hdr, fmat, imat, desc, in_frustum, kp_pt = fetch(
+            out.hdr, out.fmat, out.imat, out.desc, out.in_frustum, out.kp_pt)
+        T2 = hdr[12:24].reshape(3, 4)
+        n_cand, n_mm, n_inl1_map, n_inl2_map = (int(v) for v in hdr[24:28])
+        mp = self.map
+        state_before = self.state
+        with mp.lock:
+            kp_pt = mp.resolve_point_ids(kp_pt)
+            pose = self._track_fused_finish(
+                mp, self.cfg.camera, ctx["last_frame"], ctx["ts"], T2,
+                n_cand, n_mm, n_inl1_map, n_inl2_map, imat[:, 1], imat[:, 2],
+                fmat, imat, desc, in_frustum, ctx["lp_pad"], ctx["pvalid"],
+                ctx["best_kf"], out, kp_pt=kp_pt)
+            # advance the slot quarantine (safe: depth-1 pipeline + the
+            # two-stage release in MapState keeps in-flight ids unreused)
+            mp.release_retired_points()
+        mm_success = (n_cand >= 10 and n_mm >= 20 and n_inl1_map >= 10)
+        if pose is None or self.state != TrackState.OK or not mm_success:
+            # break the chain: the dispatch made on top of this frame used
+            # a pose/binding chain that just proved unreliable (even if the
+            # staged fallback recovered this frame on host)
+            self._pipe_gen += 1
+            self._pipe_seeded = False
+        else:
+            self._pipe["bindings"] = self.last_frame.pt_idx
+        return ctx["ts"], pose
+
+    # ----------------------------------------------------------- block driver
+    def run_blocked(self, frames, to_gray, block: int = 6):
+        """K-frames-per-dispatch driver (engine_step.track_frames_block):
+        the throughput mode for remote-attached TPU runtimes, amortizing
+        the ~45-70 ms host<->device round trip over `block` frames. Host
+        bookkeeping (state machine, keyframe decisions, mapping) runs per
+        frame after each block's single batched readback; map updates reach
+        the device at the next block boundary (bounded staleness, same lag
+        class as the reference's concurrent LocalMapping). Falls back to
+        the synchronous per-frame paths for init/loss/relocalization and at
+        partial-block tails. Yields (ts, pose|None) in order."""
+        import time as _time
+        buf: list = []
+        # per-yield amortized frame time (a block's wall cost divided over
+        # its frames) — System.run_sequence reads this for honest per-frame
+        # metrics (the raw yield-to-yield gap assigns a whole block to its
+        # first frame)
+        self.last_frame_ms = 0.0
+
+        def sync_one(ts, gray, depth, right):
+            t0 = _time.perf_counter()
+            pose = self.process_image(gray, ts, depth_map=depth,
+                                      right_img=right)
+            self.last_frame_ms = (_time.perf_counter() - t0) * 1e3
+            self._blk_chain = None
+            return ts, pose
+
+        def flush(full_only=False):
+            nonlocal buf
+            while buf:
+                can = (self.state == TrackState.OK
+                       and self.last_frame is not None
+                       and self.last_frame.pose is not None
+                       and self.velocity is not None
+                       and not self.localization_only)
+                if can and len(buf) >= block:
+                    chunk, buf = buf[:block], buf[block:]
+                    done = yield from self._run_block(chunk)
+                    if not done:  # block could not run: sync the chunk
+                        for item in chunk:
+                            yield sync_one(*item)
+                elif full_only and can:
+                    return
+                else:
+                    item, buf = buf[0], buf[1:]
+                    yield sync_one(*item)
+
+        for ts, data in frames:
+            gray = to_gray(data["image"])
+            depth = data.get("depth")
+            right = to_gray(data["right"]) if "right" in data else None
+            buf.append((ts, gray, depth, right))
+            yield from flush(full_only=True)
+        yield from flush(full_only=False)
+
+    def _blk_seed(self):
+        last = self.last_frame
+        with self.map.lock:
+            last.pt_idx = self.map.resolve_point_ids(last.pt_idx)
+            ld = self._last_dev_arrays(last)
+        T_last = jnp.asarray(last.pose)
+        T_prev = jnp.asarray(se3_np.compose(
+            se3_np.inverse(self.velocity), last.pose).astype(np.float32))
+        self._blk_chain = (T_last, T_prev, jnp.asarray(last.pt_idx),
+                          ld["xy"], ld["desc"], ld["octave"], ld["angle"],
+                          ld["patch"], ld["valid"], ld["depth"])
+        self._blk_bindings = last.pt_idx
+
+    def _run_block(self, chunk):
+        """Dispatch + finish one block. Yields per-frame results; returns
+        True if the block ran (False -> caller syncs the chunk)."""
+        import time as _time
+        t_blk = _time.perf_counter()
+        mp = self.map
+        cfg = self.cfg
+        cam = cfg.camera
+        if getattr(self, "_blk_chain", None) is None:
+            self._blk_seed()
+        with mp.lock:
+            self._refresh_mirror()
+            lp_pad, pvalid, best_kf = self._select_local_points(
+                self._blk_bindings)
+            if lp_pad is None:
+                self._blk_chain = None
+                return False
+            sensor = {Sensor.MONOCULAR: "mono", Sensor.RGBD: "rgbd",
+                      Sensor.STEREO: "stereo"}[cfg.sensor]
+            imgs = jnp.asarray(np.stack([c[1] for c in chunk]), jnp.float32)
+            if sensor == "rgbd":
+                auxs = jnp.asarray(np.stack([c[2] for c in chunk]),
+                                   jnp.float32)
+            elif sensor == "stereo":
+                auxs = jnp.asarray(np.stack([c[3] for c in chunk]),
+                                   jnp.float32)
+            else:
+                auxs = imgs
+            outs, chain2 = ES.track_frames_block(
+                imgs, auxs, *self._blk_chain,
+                *self._mirror, jnp.asarray(lp_pad), jnp.asarray(pvalid),
+                self._sf_dev, self._sig2_dev,
+                params=self.builder.orb, cam=cam, sensor=sensor,
+                close_th=float(cfg.close_depth_threshold),
+                depth_factor=float(cfg.depth_map_factor),
+                log_scale=float(np.log(cfg.orb.scale_factor)))
+        self._blk_chain = chain2
+        from .utils import fetch
+        hdrs, fmats, imats, descs, in_frus, kp_pts = fetch(
+            outs.hdr, outs.fmat, outs.imat, outs.desc, outs.in_frustum,
+            outs.kp_pt)
+        K = len(chunk)
+        # per-frame cost = equal share of the block's dispatch+readback wall
+        # PLUS that frame's own host finish time (keyframe mapping etc.)
+        blk_share = (_time.perf_counter() - t_blk) * 1e3 / K
+        for k in range(K):
+            t_fin = _time.perf_counter()
+            ts = chunk[k][0]
+            hdr = hdrs[k]
+            T2 = hdr[12:24].reshape(3, 4)
+            n_cand, n_mm, n_inl1_map, n_inl2_map = (int(v) for v in hdr[24:28])
+            mm_success = (n_cand >= 10 and n_mm >= 20 and n_inl1_map >= 10)
+            with mp.lock:
+                kp_pt = mp.resolve_point_ids(kp_pts[k])
+                pose = self._track_fused_finish(
+                    mp, cam, self.last_frame, ts, T2, n_cand, n_mm,
+                    n_inl1_map, n_inl2_map, imats[k][:, 1], imats[k][:, 2],
+                    fmats[k], imats[k], descs[k], in_frus[k], lp_pad, pvalid,
+                    best_kf, None, kp_pt=kp_pt, patch_dev=(outs.patch, k))
+                mp.release_retired_points()
+            self.last_frame_ms = blk_share + (_time.perf_counter()
+                                              - t_fin) * 1e3
+            yield ts, pose
+            if pose is None or self.state != TrackState.OK or not mm_success:
+                # chain broken mid-block: remaining frames re-track sync
+                self._blk_chain = None
+                for item in chunk[k + 1:]:
+                    t0 = _time.perf_counter()
+                    pose2 = self.process_image(item[1], item[0],
+                                               depth_map=item[2],
+                                               right_img=item[3])
+                    self.last_frame_ms = (_time.perf_counter() - t0) * 1e3
+                    yield item[0], pose2
+                return True
+            self._blk_bindings = self.last_frame.pt_idx
+        return True
 
     def _relocalize(self, frame: Frame) -> bool:
         if self.relocalizer is None:

@@ -77,21 +77,24 @@ def make_sequence(N, seed=0):
 
 
 def make_mono_sequence(N, seed=0):
-    """Mono-init-friendly sequence: lateral sweep with ~0.18 m/frame
-    baseline (~1.5 deg parallax at the room's scene depth) so the
-    reference's two-view initializer (minParallax=1.0 deg on consecutive
-    frames) can actually accept a model — orbit_trajectory's ~1.5 cm/frame
-    never reaches the gate, which is why the first mono head-to-head
-    attempt recorded '0 keyframes' for the reference."""
+    """Mono-init-friendly sequence: ONE-WAY lateral sweep (0.07 m/frame)
+    over the RICH-texture room with light noise — the measured recipe the
+    reference binary both initializes on AND tracks end-to-end (its
+    initializer accumulates parallax against the first frame; zig-zag
+    reversals broke its constant-velocity model, and the plain blocky
+    texture's descriptor ambiguity starved its 0.7-ratio SearchByBoW right
+    after init — r2's '0 keyframes' result)."""
     import cv2
-    scene = synth.make_room(seed=seed)
+    import shutil
+    scene = synth.make_room(seed=seed, texture="rich")
     gt = synth.sweep_trajectory(N)
     seq = WORK / "seq_mono"
+    shutil.rmtree(seq, ignore_errors=True)
     (seq / "rgb").mkdir(parents=True, exist_ok=True)
     rgb_lines = []
     for i in range(N):
         ts = i / 30.0
-        img = synth.render_room(scene, gt[i], seed=i).astype(np.uint8)
+        img = synth.render_room(scene, gt[i], noise=0.5, seed=i).astype(np.uint8)
         cv2.imwrite(str(seq / f"rgb/{ts:.6f}.png"), img)
         rgb_lines.append(f"{ts:.6f} rgb/{ts:.6f}.png")
     (seq / "rgb.txt").write_text("# tum rgb\n" + "\n".join(rgb_lines) + "\n")
