@@ -56,6 +56,13 @@ class SlamConfig:
     # local BA windows are separately capped by local_ba_cam_cap.
     local_points_cap: int = 4096
     local_ba_cam_cap: int = 48
+    # Local-BA gauge fixing. "window": fix the fixed second ring plus the
+    # oldest window camera (and the global-oldest when it is in the window)
+    # — extra anchors stabilize short synthetic windows. "ref": the
+    # reference's exact rule — fix ONLY the second ring and the map-origin
+    # keyframe when present (src/Optimizer.cpp:640-652); gauge freedom is
+    # otherwise handled by LM damping. A/B ATE comparison in PARITY.md.
+    local_ba_gauge: str = "window"
     ba_cam_buckets: tuple = (8, 16, 32, 64, 128, 256, 512)
     ba_point_buckets: tuple = (1024, 2048, 4096, 8192, 16384, 32768, 65536)
     ba_edge_buckets: tuple = (4096, 8192, 16384, 32768, 65536, 131072, 262144)

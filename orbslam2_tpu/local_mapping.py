@@ -569,18 +569,32 @@ class LocalMapper:
             ((seen[np.clip(mp.kf_pt, 0, None)] & (mp.kf_pt >= 0)).any(axis=1))
             & mp.kf_valid)
         fixed = [int(k) for k in observers if int(k) not in local][:24]
-        # gauge fixing: the fixed second ring when present, plus the oldest
-        # camera in the window (the reference fixes KF0 only,
-        # src/Optimizer.cpp:640-652). The scale direction is then damped-only
-        # for mono, as in the reference; the historical runaway attributed to
-        # this was actually texture aliasing (io/synth.py notes).
+        # gauge fixing (cfg.local_ba_gauge):
+        #  "window" — the fixed second ring when present, plus the oldest
+        #  camera in the window (extra anchors for short synthetic windows).
+        #  "ref" — the reference's exact rule: fix ONLY the second ring and
+        #  the map-origin KF when it is local (src/Optimizer.cpp:640-652);
+        #  any residual gauge freedom is handled by LM damping, as in g2o.
+        # A/B ATE measurements for both in PARITY.md (deviation table).
         cams = local + fixed
         fixed_mask = np.zeros(len(cams), bool)
         fixed_mask[len(local):] = True
-        if not fixed_mask.any():
-            fixed_mask[int(np.argmin(mp.kf_frame_id[local]))] = True
-        if mp.kf_frame_id[cams].min() <= mp.kf_frame_id[mp.kf_valid].min():
-            fixed_mask[int(np.argmin(mp.kf_frame_id[cams]))] = True
+        global_oldest = mp.kf_frame_id[mp.kf_valid].min()
+        if self.cfg.local_ba_gauge == "ref":
+            for i, c in enumerate(cams):
+                if mp.kf_frame_id[c] <= global_oldest:
+                    fixed_mask[i] = True
+            if not fixed_mask.any():
+                # degenerate gauge-free window: keep LM-damped (reference
+                # behavior), but anchor when the window IS the whole map
+                # to avoid global drift of a tiny bootstrap map
+                if len(cams) >= mp.n_keyframes:
+                    fixed_mask[int(np.argmin(mp.kf_frame_id[cams]))] = True
+        else:
+            if not fixed_mask.any():
+                fixed_mask[int(np.argmin(mp.kf_frame_id[local]))] = True
+            if mp.kf_frame_id[cams].min() <= global_oldest:
+                fixed_mask[int(np.argmin(mp.kf_frame_id[cams]))] = True
 
         return cams, [cams[i] for i in np.flatnonzero(fixed_mask)], lpts
 
