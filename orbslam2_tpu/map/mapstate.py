@@ -112,7 +112,14 @@ class MapState:
             return
         self._dirty_pts.append(np.asarray(ids, np.int64).ravel())
         if sum(len(a) for a in self._dirty_pts) > 8192:
-            self._dirty_pts = None  # too much churn: full refresh
+            # A mapping event touches the same local points from several
+            # stages (triangulate, fuse, BA writeback, stat refresh) — the
+            # raw appended total overcounts heavily. Consolidate before
+            # concluding the churn is real: a full mirror refresh re-uploads
+            # the whole patch table (~8 MB on the wire + a 31 MB host
+            # convert), ~3-5 s per tracking block on tunnel runtimes.
+            u = np.unique(np.concatenate(self._dirty_pts))
+            self._dirty_pts = None if len(u) > 16384 else [u]
 
     def drain_dirty_points(self):
         """Return (and clear) the changed-row set: an int64 array, or None

@@ -14,6 +14,7 @@ XOR-popcount matrix (VPU-friendly, fixed shapes), with the same gating rules:
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -99,12 +100,19 @@ def mutual_filter(res_ab: MatchResult, res_ba: MatchResult) -> MatchResult:
                        jnp.where(ok, res_ab.dist, BIG))
 
 
+@functools.partial(jax.jit, static_argnames=("window", "ratio",
+                                             "check_orientation"))
 def search_for_initialization(xy_a, desc_a, valid_a, angle_a,
                               xy_b, desc_b, valid_b, angle_b,
                               window: float = 100.0, ratio: float = 0.9,
                               check_orientation: bool = True) -> MatchResult:
     """Monocular-init windowed matching
-    (ORBmatcher::SearchForInitialization, src/ORBmatcher.cpp:499-630)."""
+    (ORBmatcher::SearchForInitialization, src/ORBmatcher.cpp:499-630).
+
+    jit at def-site: called from the host during mono init — eager op-by-op
+    execution costs hundreds of tiny dispatches per call on remote-attached
+    runtimes (23 s first-call, measured), and sub-0.5 s per-op compiles never
+    enter the persistent cache. One program fixes both."""
     dist = hamming_matrix(desc_a, desc_b)
     dxy = xy_a[:, None, :] - xy_b[None, :, :]
     in_window = (jnp.abs(dxy[..., 0]) < window) & (jnp.abs(dxy[..., 1]) < window)
@@ -116,6 +124,8 @@ def search_for_initialization(xy_a, desc_a, valid_a, angle_a,
     return MatchResult(jnp.where(ok, res.idx, -1), jnp.where(ok, res.dist, BIG))
 
 
+@functools.partial(jax.jit, static_argnames=("max_dist", "ratio",
+                                             "level_window"))
 def search_by_projection(proj_uv, pred_level, radius, pt_desc, pt_valid,
                          kp_xy, kp_octave, kp_desc, kp_valid,
                          scale_factors, max_dist: int = TH_HIGH,

@@ -303,11 +303,18 @@ def _ransac_model(key, xy1, xy2, w, dlt_fn, score_fn, n_hyp: int):
     return models_n, T1, T2
 
 
+@jax.jit
 def initialize_two_view(key, xy1, xy2, w, K) -> TwoViewResult:
     """Full two-view bootstrap (Initializer::Initialize, src/Initializer.cpp:55).
 
     xy1/xy2: [N, 2] undistorted pixel coords of matched features, w: [N] bool
     match validity, K: [3, 3] intrinsics. N is static; invalid rows ignored.
+
+    jit at def-site: this runs on the host once per mono-init attempt; eager
+    execution dispatches the 200-hypothesis H+F sweeps op-by-op (90 s of tiny
+    compiles on a fresh process over the axon tunnel, none persisted). As one
+    program it compiles once, lands in the persistent cache, and replays in
+    ~0.4 s.
     """
     kH, kF = jax.random.split(key)
 

@@ -72,6 +72,7 @@ class System:
         self._async = async_mapping
         self._queue: queue.Queue | None = None
         self._worker: threading.Thread | None = None
+        self._mapper_busy = False
         if async_mapping:
             self._queue = queue.Queue(maxsize=3)
             self._worker = threading.Thread(target=self._mapping_loop, daemon=True)
@@ -93,10 +94,35 @@ class System:
         class _Proxy:
             def process(self, kf):
                 if sys_self._async:
-                    sys_self._queue.put(kf)  # bounded: backpressure like the
-                    # reference's <3 queue check (src/Tracking.cpp:1417)
+                    # NEVER block here: the tracker calls this while holding
+                    # MapState.lock, and the mapping worker needs that lock
+                    # to drain the queue — a blocking put() deadlocks. The
+                    # keyframe decision already applies the reference's <3
+                    # queue backpressure (src/Tracking.cpp:1417) via
+                    # queue_depth(); a full queue despite that falls back to
+                    # processing inline (RLock: reentrant on this thread).
+                    try:
+                        sys_self._queue.put_nowait(kf)
+                    except queue.Full:
+                        sys_self.local_mapper.process(kf)
                 else:
                     sys_self.local_mapper.process(kf)
+
+            def queue_depth(self):
+                """KeyframesInQueue (src/LocalMapping.cpp:941): drives the
+                keyframe-decision backpressure (src/Tracking.cpp:1417)."""
+                return (sys_self._queue.qsize()
+                        if sys_self._async and sys_self._queue is not None
+                        else 0)
+
+            def idle(self):
+                """AcceptKeyFrames (src/LocalMapping.cpp:794): true when the
+                mapper has no queued work and is not mid-keyframe. The
+                reference gates MONOCULAR keyframe insertion on this — the
+                mapping thread's throughput throttles the keyframe rate."""
+                return (not sys_self._async
+                        or (sys_self._queue.empty()
+                            and not sys_self._mapper_busy))
 
             def run_ba(self, *a, **kw):
                 return sys_self.local_mapper.run_ba(*a, **kw)
@@ -111,7 +137,11 @@ class System:
             kf = self._queue.get()
             if kf is None:
                 return
-            self.local_mapper.process(kf)
+            self._mapper_busy = True
+            try:
+                self.local_mapper.process(kf)
+            finally:
+                self._mapper_busy = False
 
     # ------------------------------------------------------------- public API
     def track_monocular(self, img: np.ndarray, timestamp: float):

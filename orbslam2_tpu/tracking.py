@@ -1174,9 +1174,10 @@ class Tracker:
 
     # -------------------------------------------------------------- keyframes
     def _need_new_keyframe(self, frame: Frame) -> bool:
-        """NeedNewKeyFrame (src/Tracking.cpp:1308-1434), simplified to the
-        c1a/c1b/c2 core; queue backpressure is irrelevant (mapping runs
-        synchronously or as bounded async stages)."""
+        """NeedNewKeyFrame (src/Tracking.cpp:1308-1434): c1a/c1b/c1c/c2 plus
+        the async-queue backpressure check (:1417, KeyframesInQueue<3) —
+        without it a bounded mapping queue can force either a blocking
+        enqueue under the map lock (deadlock) or unbounded queue growth."""
         if self.ref_kf < 0:
             return False
         mp = self.map
@@ -1201,7 +1202,20 @@ class Tracker:
             (self.matches_inliers < 0.9 * ref_matches or need_close)
         c2 = (self.matches_inliers < ratio * ref_matches or need_close) and \
             self.matches_inliers > 15
-        return bool((c1a or c1b) and c2) or (c1a and self.matches_inliers > 15)
+        need = bool((c1a or c1b) and c2) or (c1a and self.matches_inliers > 15)
+        if not need:
+            return False
+        # Async-mapper acceptance (src/Tracking.cpp:1402-1432): if the
+        # mapper is busy, MONOCULAR never inserts (the mapping thread's
+        # throughput throttles the keyframe rate); stereo/RGB-D interrupt
+        # the local BA and insert only while the queue is short (<3).
+        lm = self.local_mapper
+        idle_fn = getattr(lm, "idle", None) if lm is not None else None
+        if idle_fn is None or idle_fn():
+            return True
+        if self.cfg.sensor == Sensor.MONOCULAR:
+            return False
+        return getattr(lm, "queue_depth", lambda: 0)() < 3
 
     def _create_keyframe(self, frame: Frame):
         """CreateNewKeyFrame (src/Tracking.cpp:1436-1534). For stereo/RGB-D,
