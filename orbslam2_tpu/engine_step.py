@@ -72,6 +72,22 @@ def tracking_step(img, T_pred, pts_xyz, pt_desc, pt_octave, pt_valid,
     return opt.T, opt.n_inliers, feats
 
 
+# Fixed dirty-row bucket sizes for the mirror scatter (one compile each;
+# larger sets fall back to a full mirror upload).
+MIRROR_BUCKETS = (2048, 8192)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def mirror_scatter(mirror, ids, rows):
+    """Scatter-update the device point-table mirror in ONE dispatch.
+
+    mirror: tuple of [P, ...] device arrays (donated — updated in place);
+    ids: [B] int32 row indices (padded bucket; duplicate leading id);
+    rows: tuple of [B, ...] replacement rows, same field order as mirror.
+    """
+    return tuple(m.at[ids].set(r) for m, r in zip(mirror, rows))
+
+
 class TrackFrameOut(NamedTuple):
     """Device-side result of track_frame_full, PACKED into few tensors.
 
@@ -376,10 +392,11 @@ def track_frames_block(imgs, auxs, T_last, T_prev,
     imgs: [K, H, W]; auxs: [K, ...] depth/right/imgs (by sensor).
     Returns (TrackFrameOut stacked over K, chain) where chain is the tuple
     of device arrays the next block consumes verbatim — no host hop, no
-    eager slicing.
+    eager slicing. The carried patch stays u8 (as uploaded / as emitted by
+    _frame_core) so the seed block and chained blocks are ONE program
+    variant — a second dtype variant would re-trace + re-compile this (big)
+    program mid-run, a measured ~30 s stall on the relay runtime.
     """
-    f32_patch = last_patch.astype(jnp.float32)
-
     def step(carry, inputs):
         (Tl, Tp, c_pt, c_xy, c_desc, c_oct, c_ang, c_patch, c_valid,
          c_depth) = carry
@@ -393,11 +410,42 @@ def track_frames_block(imgs, auxs, T_last, T_prev,
             params, cam, sensor, close_th, depth_factor, log_scale)
         carry2 = (out.T_out, Tl, out.kp_pt, out.fmat[:, 0:2], out.desc,
                   out.imat[:, 0], out.fmat[:, 9],
-                  out.patch.astype(jnp.float32), out.imat[:, 4] != 0,
+                  out.patch, out.imat[:, 4] != 0,
                   out.fmat[:, 8])
         return carry2, out
 
     carry0 = (T_last, T_prev, last_pt, last_xy, last_desc, last_octave,
-              last_angle, f32_patch, last_valid, last_depth)
+              last_angle, last_patch.astype(jnp.uint8), last_valid,
+              last_depth)
     chain, outs = jax.lax.scan(step, carry0, (imgs, auxs))
-    return outs, chain
+
+    # ---- packed per-frame readback: ONE device->host leaf per block ----
+    # On the relay runtime every fetched leaf costs a round trip and the
+    # transfer rides a ~15 MB/s tunnel, so the per-frame readback is packed
+    # into a single int32 tensor [K, 32 + 4N + P/32]:
+    #   [0:32)        hdr (f32 bitcast: poses + counts)
+    #   [32:32+N)     kp_pt   resolved point id per keypoint (-1)
+    #   [+N:+2N)      kp_mm   last-frame slot per keypoint (-1)
+    #   [+2N:+3N)     flags   valid | refined<<1
+    #   [+3N:+4N)     depth   (f32 bitcast; -1 mono)
+    #   [+4N:]        in_frustum bitpacked 32/word
+    # The full per-feature tensors (fmat/imat/desc/patch) stay ON DEVICE in
+    # `outs`; the host materializes a frame's features lazily (only for
+    # keyframe creation and fallback paths — tracking.Frame lazy load).
+    K = imgs.shape[0]
+    hdr_i = jax.lax.bitcast_convert_type(outs.hdr, jnp.int32)
+    depth_i = jax.lax.bitcast_convert_type(outs.fmat[:, :, 8], jnp.int32)
+    flags = outs.imat[:, :, 4] + 2 * outs.imat[:, :, 3]
+    P = outs.in_frustum.shape[1]
+    pad = (-P) % 32
+    frus = outs.in_frustum
+    if pad:
+        frus = jnp.pad(frus, ((0, 0), (0, pad)))
+    frus_w = jax.lax.bitcast_convert_type(
+        jnp.sum(frus.reshape(K, -1, 32).astype(jnp.uint32)
+                * (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32)), -1),
+        jnp.int32)
+    packed = jnp.concatenate(
+        [hdr_i, outs.kp_pt, outs.imat[:, :, 1], flags, depth_i, frus_w],
+        axis=1)
+    return outs, chain, packed

@@ -42,17 +42,23 @@ class Frame:
     # carry no map point (Tracking::UpdateLastFrame). Never enter the map.
     tmp_xyz: np.ndarray = field(default=None)
     tmp_valid: np.ndarray = field(default=None)
+    # LAZY frames (block driver): per-feature arrays stay on device and xy
+    # etc. are None until tracking.Tracker._ensure_features materializes
+    # them; n_feat carries the capacity until then.
+    n_feat: int = 0
 
     def __post_init__(self):
+        n = self.xy.shape[0] if self.xy is not None else self.n_feat
+        self.n_feat = n
         if self.pt_idx is None:
-            self.pt_idx = np.full(self.xy.shape[0], -1, np.int32)
+            self.pt_idx = np.full(n, -1, np.int32)
         if self.tmp_xyz is None:
-            self.tmp_xyz = np.zeros((self.xy.shape[0], 3), np.float32)
-            self.tmp_valid = np.zeros(self.xy.shape[0], bool)
+            self.tmp_xyz = np.zeros((n, 3), np.float32)
+            self.tmp_valid = np.zeros(n, bool)
 
     @property
     def capacity(self) -> int:
-        return self.xy.shape[0]
+        return self.n_feat
 
     @property
     def n_valid(self) -> int:

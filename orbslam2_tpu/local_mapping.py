@@ -126,6 +126,17 @@ class LocalMapper:
         # stale entry can't kill a fresh point that reused the slot.
         self.recent: dict[int, tuple[int, int]] = {}
         self.kf_counter = 0
+        # InterruptBA (src/LocalMapping.cpp:InterruptBA / mbAbortBA): the
+        # tracker sets this when it wants to insert a keyframe while the
+        # mapper is busy; local_ba skips its solve (the next keyframe's
+        # window re-optimizes the same region), draining the queue faster.
+        import threading
+        self._interrupt_ba = threading.Event()
+
+    def interrupt_ba(self):
+        """Request the current/next local BA be skipped (InterruptBA,
+        src/LocalMapping.cpp — mbAbortBA)."""
+        self._interrupt_ba.set()
 
     def register_keyframe(self, kf: int):
         """BoW transform + place-recognition index insert
@@ -227,7 +238,15 @@ class LocalMapper:
         (create_new_points / fuse_neighbors / run_ba), so with
         async_mapping=True the tracker's fused frames interleave with the
         mapping compute but never observe torn map state."""
+        import os
+        import time as _time
+        timing = os.environ.get("ORBSLAM2_TPU_TIMING") == "1"
+        _t = _time.perf_counter if timing else (lambda: 0.0)
+        t0 = _t()
         self.kf_counter += 1
+        # a stale interrupt from before this keyframe entered the queue
+        # must not cancel ITS BA (mbAbortBA is cleared per keyframe)
+        self._interrupt_ba.clear()
         with self.map.lock:
             self.register_keyframe(kf)
             self.refine_bound_observations(kf)
@@ -239,13 +258,23 @@ class LocalMapper:
             self.map.refresh_point_stats(
                 np.unique(self.map.kf_pt[kf][self.map.kf_pt[kf] >= 0]))
             self.cull_recent_points()
+        t1 = _t()
         self.create_new_points(kf)
+        t2 = _t()
         self.fuse_neighbors(kf)
+        t3 = _t()
         self.local_ba(kf)
+        t4 = _t()
         with self.map.lock:
             self.cull_keyframes(kf)
             if self.loop_closer is not None:
                 self.loop_closer.process(kf)
+        if timing:
+            t5 = _t()
+            print(f"  [mapper kf={kf}: prep {1e3*(t1-t0):.0f} newpts "
+                  f"{1e3*(t2-t1):.0f} fuse {1e3*(t3-t2):.0f} ba "
+                  f"{1e3*(t4-t3):.0f} cull+loop {1e3*(t5-t4):.0f} ms]",
+                  flush=True)
 
     # ---------------------------------------------------------------- culling
     def cull_recent_points(self):
@@ -545,6 +574,10 @@ class LocalMapper:
         """LocalBundleAdjustment window construction
         (src/Optimizer.cpp:564-941): local cams = current + covisible; local
         points = their points; fixed cams = other observers of those points."""
+        if self._interrupt_ba.is_set():
+            # aborted by the tracker (InterruptBA): skip this window's solve
+            self._interrupt_ba.clear()
+            return
         mp = self.map
         with mp.lock:
             sel = self._local_ba_select(kf)

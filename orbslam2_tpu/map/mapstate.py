@@ -103,6 +103,11 @@ class MapState:
         # rows changed since the mirror last synced; None = everything
         # (the mirror falls back to a full upload)
         self._dirty_pts: list | None = []
+        # prefix of _dirty_pts that is already consolidated (unique) — only
+        # the appended TAIL counts toward the re-consolidation trigger, so a
+        # large-but-stable dirty set doesn't re-run np.unique on every
+        # mark_points_dirty call (ADVICE r3 item 4)
+        self._dirty_base = 0
 
     def mark_points_dirty(self, ids):
         """Record changed point rows for incremental mirror sync and bump
@@ -111,21 +116,27 @@ class MapState:
         if self._dirty_pts is None:
             return
         self._dirty_pts.append(np.asarray(ids, np.int64).ravel())
-        if sum(len(a) for a in self._dirty_pts) > 8192:
+        if sum(len(a) for a in self._dirty_pts[self._dirty_base:]) > 8192:
             # A mapping event touches the same local points from several
             # stages (triangulate, fuse, BA writeback, stat refresh) — the
             # raw appended total overcounts heavily. Consolidate before
             # concluding the churn is real: a full mirror refresh re-uploads
             # the whole patch table (~8 MB on the wire + a 31 MB host
-            # convert), ~3-5 s per tracking block on tunnel runtimes.
+            # convert), seconds per tracking block on tunnel runtimes.
             u = np.unique(np.concatenate(self._dirty_pts))
-            self._dirty_pts = None if len(u) > 16384 else [u]
+            if len(u) > 16384:
+                self._dirty_pts = None
+                self._dirty_base = 0
+            else:
+                self._dirty_pts = [u]
+                self._dirty_base = 1
 
     def drain_dirty_points(self):
         """Return (and clear) the changed-row set: an int64 array, or None
         meaning 'unknown / everything'."""
         d = self._dirty_pts
         self._dirty_pts = []
+        self._dirty_base = 0
         if d is None:
             return None
         if not d:

@@ -72,7 +72,6 @@ class System:
         self._async = async_mapping
         self._queue: queue.Queue | None = None
         self._worker: threading.Thread | None = None
-        self._mapper_busy = False
         if async_mapping:
             self._queue = queue.Queue(maxsize=3)
             self._worker = threading.Thread(target=self._mapping_loop, daemon=True)
@@ -92,37 +91,60 @@ class System:
         sys_self = self
 
         class _Proxy:
+            def __init__(self):
+                # deferred keyframes that hit a momentarily full queue
+                # (nearly unreachable: the keyframe decision applies the
+                # reference's <3 backpressure via queue_depth); retried on
+                # the next proxy call instead of processing inline, which
+                # would race the worker mid-keyframe (ADVICE r3 item 2)
+                self._pending: list[int] = []
+
+            def _flush_pending(self):
+                while self._pending:
+                    try:
+                        sys_self._queue.put_nowait(self._pending[0])
+                    except queue.Full:
+                        return
+                    self._pending.pop(0)
+
             def process(self, kf):
                 if sys_self._async:
                     # NEVER block here: the tracker calls this while holding
                     # MapState.lock, and the mapping worker needs that lock
-                    # to drain the queue — a blocking put() deadlocks. The
-                    # keyframe decision already applies the reference's <3
-                    # queue backpressure (src/Tracking.cpp:1417) via
-                    # queue_depth(); a full queue despite that falls back to
-                    # processing inline (RLock: reentrant on this thread).
+                    # to drain the queue — a blocking put() deadlocks.
+                    self._flush_pending()
                     try:
                         sys_self._queue.put_nowait(kf)
                     except queue.Full:
-                        sys_self.local_mapper.process(kf)
+                        self._pending.append(kf)
                 else:
                     sys_self.local_mapper.process(kf)
 
             def queue_depth(self):
                 """KeyframesInQueue (src/LocalMapping.cpp:941): drives the
                 keyframe-decision backpressure (src/Tracking.cpp:1417)."""
-                return (sys_self._queue.qsize()
-                        if sys_self._async and sys_self._queue is not None
-                        else 0)
+                if not sys_self._async or sys_self._queue is None:
+                    return 0
+                self._flush_pending()
+                return sys_self._queue.qsize() + len(self._pending)
 
             def idle(self):
                 """AcceptKeyFrames (src/LocalMapping.cpp:794): true when the
-                mapper has no queued work and is not mid-keyframe. The
-                reference gates MONOCULAR keyframe insertion on this — the
-                mapping thread's throughput throttles the keyframe rate."""
-                return (not sys_self._async
-                        or (sys_self._queue.empty()
-                            and not sys_self._mapper_busy))
+                mapper has neither queued nor in-flight work. Counted via
+                the queue's unfinished-task counter (task_done fires after
+                process() returns), closing the get()->busy TOCTOU window
+                (ADVICE r3 item 3)."""
+                if not sys_self._async:
+                    return True
+                self._flush_pending()
+                return (sys_self._queue.unfinished_tasks == 0
+                        and not self._pending)
+
+            def interrupt_ba(self):
+                """LocalMapping::InterruptBA (src/Tracking.cpp:1412): the
+                tracker wants to insert a keyframe while the mapper is busy
+                — abort the running local BA so the queue drains faster."""
+                sys_self.local_mapper.interrupt_ba()
 
             def run_ba(self, *a, **kw):
                 return sys_self.local_mapper.run_ba(*a, **kw)
@@ -130,18 +152,19 @@ class System:
             def register(self, kf):
                 sys_self.local_mapper.register_keyframe(kf)
 
-        return _Proxy()
+        self._proxy = _Proxy()
+        return self._proxy
 
     def _mapping_loop(self):
         while True:
             kf = self._queue.get()
             if kf is None:
+                self._queue.task_done()
                 return
-            self._mapper_busy = True
             try:
                 self.local_mapper.process(kf)
             finally:
-                self._mapper_busy = False
+                self._queue.task_done()
 
     # ------------------------------------------------------------- public API
     def track_monocular(self, img: np.ndarray, timestamp: float):
@@ -191,13 +214,13 @@ class System:
                      pipelined: bool = True):
         """Sequence runner.
 
-        pipelined=True (default): depth-1 software pipeline — frame i+1 is
-        dispatched before frame i's readback (tracking.Tracker.run_pipelined),
-        so sequence throughput is bounded by device compute, not by the
-        host<->device round-trip (decisive on remote-attached TPU runtimes).
-        Poses are identical to the synchronous path while the motion model
-        holds; init/loss/relocalization fall back to the sync path
-        automatically. pipelined=False: one fused dispatch + blocking
+        pipelined=True (default): the production block driver
+        (tracking.Tracker.run_blocked) — K frames per device dispatch with
+        one block kept in flight, so sequence throughput is bounded by
+        device compute + tunnel bandwidth, not by the host<->device round
+        trip (decisive on remote-attached TPU runtimes). Init, loss,
+        relocalization and localization-only mode fall back to the sync
+        path automatically. pipelined=False: one fused dispatch + blocking
         readback per frame (lowest per-frame latency).
 
         frames: iterable of (timestamp, dict) with keys image [+depth|right].
@@ -281,6 +304,12 @@ class System:
             self.viewer.stop()
             self.viewer = None
         if self._async and self._queue is not None:
+            # drain deferred keyframes first (blocking puts are safe here:
+            # the tracking thread holds no map lock during shutdown)
+            for kf in getattr(self._proxy, "_pending", []):
+                self._queue.put(kf)
+            if hasattr(self._proxy, "_pending"):
+                self._proxy._pending.clear()
             self._queue.put(None)
             self._worker.join(timeout=30)
         self.global_ba.wait_and_apply()

@@ -91,6 +91,7 @@ class Tracker:
         self.ref_kf: int = -1
         self.last_kf_frame_id: int = -1
         self.init_frame_id: int = -1
+        self.last_reloc_frame_id: int = -1  # mnLastRelocFrameId
         self.matches_inliers: int = 0
         self._rng = jax.random.PRNGKey(0)
         # trajectory log: (timestamp, ref_kf, T_frame_wrt_refkf, lost)
@@ -106,10 +107,6 @@ class Tracker:
         self._last_dev_frame_id = -1
         self._sf_dev = jnp.asarray(self.sf)
         self._sig2_dev = jnp.asarray(self.sigma2)
-        # pipelined-driver chain state (run_pipelined)
-        self._pipe: dict = {}
-        self._pipe_gen = 0
-        self._pipe_seeded = False
 
     # ------------------------------------------------------------------ utils
     def _next_key(self):
@@ -430,6 +427,7 @@ class Tracker:
     def _track_with_motion_model(self, frame: Frame) -> bool:
         """TrackWithMotionModel (src/Tracking.cpp:1161-1243)."""
         last = self.last_frame
+        self._ensure_features(last)
         frame.pose = se3_np.orthonormalize(
             se3_np.compose(self.velocity, last.pose))
         pt = last.pt_idx
@@ -537,10 +535,14 @@ class Tracker:
     # ----------------------------------------------------------- fused frame
     def _refresh_mirror(self):
         """Sync the device mirror of the map point table. Incremental: only
-        rows dirtied since the last sync are re-uploaded (a device scatter);
-        unbounded churn (loop corrections) falls back to a full upload.
-        Patches ship as u8 (matching MapState.kf_patch storage) — the full
-        table is ~8 MB instead of ~32 MB."""
+        rows dirtied since the last sync are re-uploaded, as ONE jitted
+        donated scatter dispatch (engine_step.mirror_scatter — the per-field
+        eager .at[].set of round 3 compiled per field per bucket and cost
+        seconds mid-run); unbounded churn (loop corrections, capacity
+        growth) falls back to a full upload. Patches ship as u8 (matching
+        MapState.kf_patch storage) — the full table is ~8 MB not ~32 MB.
+        The dispatch is ASYNC: callers consume the returned device handles
+        in later dispatches on the same stream, so nothing blocks here."""
         mp = self.map
         if self._mirror is not None and self._mirror_gen == mp.generation:
             return
@@ -553,26 +555,27 @@ class Tracker:
                     mp.pt_valid[sl])
 
         dirty = mp.drain_dirty_points()
-        if self._mirror is None or dirty is None:
+        if (self._mirror is None or dirty is None
+                or len(dirty) > ES.MIRROR_BUCKETS[-1]):
             self._mirror = tuple(jnp.asarray(a) for a in host_rows())
         elif len(dirty):
-            # pad the id set to a power-of-two bucket so the scatter program
+            # pad the id set to a fixed bucket so the scatter program
             # compiles once per bucket size, not once per unique count
             # (duplicated leading id: scatter-set with equal rows is benign)
             n = len(dirty)
-            bucket = 1 << max(8, (n - 1).bit_length())
+            bucket = next(b for b in ES.MIRROR_BUCKETS if b >= n)
             dirty = np.concatenate(
                 [dirty, np.full(bucket - n, dirty[0], dirty.dtype)])
-            ids = jnp.asarray(dirty)
-            self._mirror = tuple(
-                m.at[ids].set(jnp.asarray(rows))
-                for m, rows in zip(self._mirror, host_rows(dirty)))
+            self._mirror = ES.mirror_scatter(
+                self._mirror, jnp.asarray(dirty.astype(np.int32)),
+                tuple(jnp.asarray(r) for r in host_rows(dirty)))
         self._mirror_gen = mp.generation
 
     def _last_dev_arrays(self, last: Frame):
         """Device handles of the last frame's per-feature arrays — chained
         from the previous fused output when possible, uploaded otherwise."""
         if self._last_dev_frame_id != last.frame_id or self._last_dev is None:
+            self._ensure_features(last)
             _ensure_patch(last)
             patch = last.patch if last.patch is not None else np.zeros(
                 (last.capacity, F.PATCH_WIN, F.PATCH_WIN), np.float32)
@@ -696,7 +699,7 @@ class Tracker:
     def _track_fused_finish(self, mp, cam, last, timestamp, T2, n_cand, n_mm,
                             n_inl1_map, n_inl2_map, kp_mm_row, kp_src_arr,
                             fmat, imat, desc, in_frustum, lp_pad, pvalid,
-                            best_kf, out, kp_pt=None, patch_dev=None):
+                            best_kf, out):
         frame = Frame(
             frame_id=self.builder._next_id, timestamp=timestamp,
             xy=fmat[:, 0:2].copy(), xy_raw=fmat[:, 2:4].copy(),
@@ -705,10 +708,7 @@ class Tracker:
             valid=imat[:, 4] != 0, depth=fmat[:, 8].copy(),
             ur=fmat[:, 6].copy(), patch=None,
             xy0=fmat[:, 4:6].copy(), ur0=fmat[:, 7].copy())
-        # out may be None (block driver: patch handle supplied via
-        # patch_dev as a (stacked, k) tuple, chaining handled by the block
-        # carry)
-        frame._patch_dev = out.patch if out is not None else patch_dev
+        frame._patch_dev = out.patch
         self.builder._next_id += 1
         frame._refined = imat[:, 3] != 0
 
@@ -725,23 +725,17 @@ class Tracker:
             return self._finish_frame(frame, ok)
 
         # decode final bindings: kp_src is a last-frame slot (< N) or
-        # N + local-map row. When the device already resolved the bindings
-        # (pipelined driver: out.kp_pt), use them verbatim — they are the
-        # ids the in-flight chain actually carries.
+        # N + local-map row
         src = kp_src_arr
         is_mm = (src >= 0) & (src < N)
-        if kp_pt is not None:
-            frame.pt_idx = kp_pt.astype(np.int32).copy()
-            tmp_kp = is_mm & (kp_pt < 0)
-        else:
-            is_lp = src >= N
-            pt_from_mm = last.pt_idx[np.clip(src, 0, N - 1)]
-            frame.pt_idx = np.where(
-                is_mm, pt_from_mm,
-                np.where(is_lp,
-                         lp_pad[np.clip(src - N, 0, len(lp_pad) - 1)], -1)
-            ).astype(np.int32)
-            tmp_kp = is_mm & (pt_from_mm < 0)
+        is_lp = src >= N
+        pt_from_mm = last.pt_idx[np.clip(src, 0, N - 1)]
+        frame.pt_idx = np.where(
+            is_mm, pt_from_mm,
+            np.where(is_lp,
+                     lp_pad[np.clip(src - N, 0, len(lp_pad) - 1)], -1)
+        ).astype(np.int32)
+        tmp_kp = is_mm & (pt_from_mm < 0)
         frame.pt_idx[tmp_kp] = -1
         frame.tmp_valid = tmp_kp
         if tmp_kp.any():
@@ -781,183 +775,39 @@ class Tracker:
             self._last_dev = None
         return self._finish_frame(frame, ok)
 
-    # --------------------------------------------------------- pipelined driver
-    def run_pipelined(self, frames, to_gray):
-        """Depth-1 pipelined steady-state driver: frame i+1 is DISPATCHED
-        before frame i's results are read back, so the per-frame wall time
-        is bounded by device compute + transfer bandwidth instead of the
-        host<->device round-trip latency (decisive on remote-attached TPU
-        runtimes, ~70 ms RTT measured). The pose/velocity recurrence and
-        the binding chain stay on device (track_frame_full computes
-        T_pred = vel∘T_last in-program and emits kp_pt); the host finishes
-        frame i (bookkeeping, keyframe decision, mapping) while the device
-        works on frame i+1 — the reference's concurrent-LocalMapping
-        overlap, expressed as software pipelining.
-
-        frames: iterable of (ts, {"image", ["depth"|"right"]}). Yields
-        (ts, pose|None) in order, one frame behind the dispatch front.
-        Falls back to the synchronous paths for init, loss, relocalization
-        and localization-only mode."""
-        inflight = None
-
-        def finish_inflight():
-            nonlocal inflight
-            if inflight is None:
-                return None
-            ctx, inflight = inflight, None
-            return self._pipe_finish(ctx)
-
-        for ts, data in frames:
-            gray = to_gray(data["image"])
-            depth = data.get("depth")
-            right = to_gray(data["right"]) if "right" in data else None
-            can_pipe = (self.state == TrackState.OK
-                        and self.last_frame is not None
-                        and self.last_frame.pose is not None
-                        and self.velocity is not None
-                        and not self.localization_only)
-            ctx = (self._pipe_dispatch(gray, ts, depth, right)
-                   if can_pipe else None)
-            r = finish_inflight()
-            if r is not None:
-                yield r
-            if ctx is not None and ctx["chain_gen"] != self._pipe_gen:
-                # the frame we just finished broke the chain (loss /
-                # fallback): the dispatch we made is predicated on garbage
-                ctx = None
-            if ctx is None:
-                # synchronous frame (init, fallback, reloc, or re-track of
-                # a discarded dispatch)
-                pose = self.process_image(gray, ts, depth_map=depth,
-                                          right_img=right)
-                self._pipe_seeded = False
-                yield ts, pose
-                continue
-            inflight = ctx
-        r = finish_inflight()
-        if r is not None:
-            yield r
-
-    def _pipe_seed(self):
-        """Start (or re-start) the device chain from the last finished
-        frame's host state."""
-        last = self.last_frame
-        with self.map.lock:
-            last.pt_idx = self.map.resolve_point_ids(last.pt_idx)
-            ld = self._last_dev_arrays(last)
-        T_last = jnp.asarray(last.pose)
-        T_prev = jnp.asarray(se3_np.compose(
-            se3_np.inverse(self.velocity), last.pose).astype(np.float32))
-        self._pipe = dict(ld=ld, T_last=T_last, T_prev=T_prev,
-                          last_pt=jnp.asarray(last.pt_idx),
-                          bindings=last.pt_idx)
-        self._pipe_seeded = True
-
-    def _pipe_dispatch(self, img, ts, depth_map, right_img):
-        """Host prep + async dispatch of one pipelined frame (no readback).
-        Returns a ctx for _pipe_finish, or None if the pipeline cannot run
-        this frame (falls back to the sync path)."""
-        if not getattr(self, "_pipe_seeded", False):
-            self._pipe_seed()
-        mp = self.map
-        cfg = self.cfg
-        cam = cfg.camera
-        st = self._pipe
-        with mp.lock:
-            self._refresh_mirror()
-            lp_pad, pvalid, best_kf = self._select_local_points(st["bindings"])
-            if lp_pad is None:
-                return None
-            sensor = {Sensor.MONOCULAR: "mono", Sensor.RGBD: "rgbd",
-                      Sensor.STEREO: "stereo"}[cfg.sensor]
-            img_dev = jnp.asarray(img, jnp.float32)
-            if sensor == "rgbd":
-                aux = jnp.asarray(depth_map, jnp.float32)
-            elif sensor == "stereo":
-                aux = jnp.asarray(right_img, jnp.float32)
-            else:
-                aux = img_dev
-            T_stack = jnp.stack([st["T_last"], st["T_prev"]])
-            out = ES.track_frame_full(
-                img_dev, aux, T_stack, st["T_last"],
-                st["last_pt"], st["ld"]["xy"], st["ld"]["desc"],
-                st["ld"]["octave"], st["ld"]["angle"], st["ld"]["patch"],
-                st["ld"]["valid"], st["ld"]["depth"],
-                jnp.asarray(False),
-                *self._mirror, jnp.asarray(lp_pad), jnp.asarray(pvalid),
-                jnp.float32(1.0), self._sf_dev, self._sig2_dev,
-                params=self.builder.orb, cam=cam, sensor=sensor,
-                close_th=float(cfg.close_depth_threshold),
-                depth_factor=float(cfg.depth_map_factor),
-                log_scale=float(np.log(cfg.orb.scale_factor)))
-        # chain device handles for the NEXT dispatch immediately
-        st["T_prev"] = st["T_last"]
-        st["T_last"] = out.T_out
-        st["last_pt"] = out.kp_pt
-        st["ld"] = dict(xy=out.fmat[:, 0:2], desc=out.desc,
-                        octave=out.imat[:, 0], angle=out.fmat[:, 9],
-                        patch=out.patch, valid=out.imat[:, 4] != 0,
-                        depth=out.fmat[:, 8])
-        # NOTE: copies are NOT started here — copy_to_host_async on a
-        # not-yet-computed array degrades to a synchronous round trip per
-        # leaf on the relay (measured); _pipe_finish blocks on hdr first.
-        return dict(out=out, ts=ts, lp_pad=lp_pad, pvalid=pvalid,
-                    best_kf=best_kf, chain_gen=self._pipe_gen,
-                    last_frame=self.last_frame)
-
-    def _pipe_finish(self, ctx):
-        """Read back a dispatched frame (usually already arrived) and run
-        the host bookkeeping: binding adoption, visibility counters, state
-        machine, keyframe decision + mapping."""
-        from .utils import fetch
-        out = ctx["out"]
-        hdr, fmat, imat, desc, in_frustum, kp_pt = fetch(
-            out.hdr, out.fmat, out.imat, out.desc, out.in_frustum, out.kp_pt)
-        T2 = hdr[12:24].reshape(3, 4)
-        n_cand, n_mm, n_inl1_map, n_inl2_map = (int(v) for v in hdr[24:28])
-        mp = self.map
-        state_before = self.state
-        with mp.lock:
-            kp_pt = mp.resolve_point_ids(kp_pt)
-            pose = self._track_fused_finish(
-                mp, self.cfg.camera, ctx["last_frame"], ctx["ts"], T2,
-                n_cand, n_mm, n_inl1_map, n_inl2_map, imat[:, 1], imat[:, 2],
-                fmat, imat, desc, in_frustum, ctx["lp_pad"], ctx["pvalid"],
-                ctx["best_kf"], out, kp_pt=kp_pt)
-            # advance the slot quarantine (safe: depth-1 pipeline + the
-            # two-stage release in MapState keeps in-flight ids unreused)
-            mp.release_retired_points()
-        mm_success = (n_cand >= 10 and n_mm >= 20 and n_inl1_map >= 10)
-        if pose is None or self.state != TrackState.OK or not mm_success:
-            # break the chain: the dispatch made on top of this frame used
-            # a pose/binding chain that just proved unreliable (even if the
-            # staged fallback recovered this frame on host)
-            self._pipe_gen += 1
-            self._pipe_seeded = False
-        else:
-            self._pipe["bindings"] = self.last_frame.pt_idx
-        return ctx["ts"], pose
-
     # ----------------------------------------------------------- block driver
     def run_blocked(self, frames, to_gray, block: int = 6):
-        """K-frames-per-dispatch driver (engine_step.track_frames_block):
-        the throughput mode for remote-attached TPU runtimes, amortizing
-        the ~45-70 ms host<->device round trip over `block` frames. Host
-        bookkeeping (state machine, keyframe decisions, mapping) runs per
-        frame after each block's single batched readback; map updates reach
-        the device at the next block boundary (bounded staleness, same lag
-        class as the reference's concurrent LocalMapping). Falls back to
-        the synchronous per-frame paths for init/loss/relocalization and at
-        partial-block tails. Yields (ts, pose|None) in order."""
+        """K-frames-per-dispatch, depth-1 pipelined driver
+        (engine_step.track_frames_block): the throughput mode for
+        remote-attached TPU runtimes.
+
+        Two latency hiders compose:
+        - K frames per dispatch amortize the ~45-70 ms host<->device round
+          trip and the per-dispatch overhead over `block` frames;
+        - one block stays IN FLIGHT: block i+1 is dispatched (chain carry =
+          device handles of block i's outputs) BEFORE block i's readback,
+          so the device computes and the tunnel transfers while the host
+          finishes the previous block. Per-frame wall approaches
+          max(upload, compute, readback, host)/K instead of their sum.
+
+        Host bookkeeping (state machine, keyframe decisions, mapping) runs
+        per frame after each block's single packed readback; map updates
+        reach the device at the next dispatch boundary (bounded staleness
+        of <= 2 blocks, the same lag class as the reference's concurrent
+        LocalMapping). Falls back to the synchronous per-frame paths for
+        init/loss/relocalization and partial-block tails. Yields
+        (ts, pose|None) in order."""
         import time as _time
         buf: list = []
+        inflight: dict | None = None
         # per-yield amortized frame time (a block's wall cost divided over
         # its frames) — System.run_sequence reads this for honest per-frame
         # metrics (the raw yield-to-yield gap assigns a whole block to its
         # first frame)
         self.last_frame_ms = 0.0
 
-        def sync_one(ts, gray, depth, right):
+        def sync_one(item):
+            ts, gray, depth, right = item
             t0 = _time.perf_counter()
             pose = self.process_image(gray, ts, depth_map=depth,
                                       right_img=right)
@@ -965,9 +815,18 @@ class Tracker:
             self._blk_chain = None
             return ts, pose
 
+        def drain_inflight():
+            """Finish the in-flight block; on a chain break, discard any
+            block dispatched on top of it (none can be: depth is 1)."""
+            nonlocal inflight
+            if inflight is None:
+                return
+            ctx, inflight = inflight, None
+            yield from self._blk_finish(ctx)
+
         def flush(full_only=False):
-            nonlocal buf
-            while buf:
+            nonlocal buf, inflight
+            while True:
                 can = (self.state == TrackState.OK
                        and self.last_frame is not None
                        and self.last_frame.pose is not None
@@ -975,15 +834,36 @@ class Tracker:
                        and not self.localization_only)
                 if can and len(buf) >= block:
                     chunk, buf = buf[:block], buf[block:]
-                    done = yield from self._run_block(chunk)
-                    if not done:  # block could not run: sync the chunk
+                    ctx = self._blk_dispatch(chunk)
+                    if ctx is None:  # no local points: sync the chunk
+                        yield from drain_inflight()
+                        self._blk_chain = None
                         for item in chunk:
-                            yield sync_one(*item)
-                elif full_only and can:
-                    return
-                else:
+                            yield sync_one(item)
+                        continue
+                    prev, inflight = inflight, ctx
+                    if prev is not None:
+                        ok = yield from self._blk_finish(prev)
+                        if not ok:
+                            # the finished block broke the chain: the block
+                            # we just dispatched consumed a garbage carry
+                            bad, inflight = inflight, None
+                            self._blk_chain = None
+                            for item in bad["chunk"]:
+                                yield sync_one(item)
+                    continue
+                if inflight is not None and (buf or not full_only):
+                    # a sync frame (or the tail) must run next: results
+                    # must come back in order, so finish the pipeline first
+                    yield from drain_inflight()
+                    continue
+                if buf and not (full_only and can):
                     item, buf = buf[0], buf[1:]
-                    yield sync_one(*item)
+                    yield sync_one(item)
+                    continue
+                if not full_only:
+                    yield from drain_inflight()
+                return
 
         for ts, data in frames:
             gray = to_gray(data["image"])
@@ -1006,35 +886,43 @@ class Tracker:
                           ld["patch"], ld["valid"], ld["depth"])
         self._blk_bindings = last.pt_idx
 
-    def _run_block(self, chunk):
-        """Dispatch + finish one block. Yields per-frame results; returns
-        True if the block ran (False -> caller syncs the chunk)."""
+    def _blk_dispatch(self, chunk):
+        """Host prep + async dispatch of one block (no readback). Returns a
+        ctx for _blk_finish, or None when no local-map slice exists."""
+        import os
         import time as _time
-        t_blk = _time.perf_counter()
+        timing = os.environ.get("ORBSLAM2_TPU_TIMING") == "1"
+        t0 = _time.perf_counter()
         mp = self.map
         cfg = self.cfg
         cam = cfg.camera
         if getattr(self, "_blk_chain", None) is None:
             self._blk_seed()
+        t_lock = _time.perf_counter()
         with mp.lock:
+            t_locked = _time.perf_counter()
             self._refresh_mirror()
+            t_mirror = _time.perf_counter()
             lp_pad, pvalid, best_kf = self._select_local_points(
                 self._blk_bindings)
             if lp_pad is None:
                 self._blk_chain = None
-                return False
+                return None
+            t_lp = _time.perf_counter()
             sensor = {Sensor.MONOCULAR: "mono", Sensor.RGBD: "rgbd",
                       Sensor.STEREO: "stereo"}[cfg.sensor]
-            imgs = jnp.asarray(np.stack([c[1] for c in chunk]), jnp.float32)
+            # ship images in their native dtype (u8 when the source is u8:
+            # 4x less tunnel traffic; the device program casts)
+            imgs = jnp.asarray(np.stack([c[1] for c in chunk]))
             if sensor == "rgbd":
                 auxs = jnp.asarray(np.stack([c[2] for c in chunk]),
                                    jnp.float32)
             elif sensor == "stereo":
-                auxs = jnp.asarray(np.stack([c[3] for c in chunk]),
-                                   jnp.float32)
+                auxs = jnp.asarray(np.stack([c[3] for c in chunk]))
             else:
                 auxs = imgs
-            outs, chain2 = ES.track_frames_block(
+            t_up = _time.perf_counter()
+            outs, chain2, packed = ES.track_frames_block(
                 imgs, auxs, *self._blk_chain,
                 *self._mirror, jnp.asarray(lp_pad), jnp.asarray(pvalid),
                 self._sf_dev, self._sig2_dev,
@@ -1042,29 +930,59 @@ class Tracker:
                 close_th=float(cfg.close_depth_threshold),
                 depth_factor=float(cfg.depth_map_factor),
                 log_scale=float(np.log(cfg.orb.scale_factor)))
+            t_disp = _time.perf_counter()
         self._blk_chain = chain2
-        from .utils import fetch
-        hdrs, fmats, imats, descs, in_frus, kp_pts = fetch(
-            outs.hdr, outs.fmat, outs.imat, outs.desc, outs.in_frustum,
-            outs.kp_pt)
+        if timing:
+            print(f"  [blk-dispatch: seed {1e3*(t_lock-t0):.0f} lockwait "
+                  f"{1e3*(t_locked-t_lock):.0f} mirror "
+                  f"{1e3*(t_mirror-t_locked):.0f} lp {1e3*(t_lp-t_mirror):.0f} "
+                  f"upload {1e3*(t_up-t_lp):.0f} dispatch "
+                  f"{1e3*(t_disp-t_up):.0f} ms]", flush=True)
+        return dict(outs=outs, packed=packed, chunk=chunk, lp_pad=lp_pad,
+                    pvalid=pvalid, best_kf=best_kf,
+                    t_dispatch=_time.perf_counter())
+
+    def _blk_finish(self, ctx):
+        """Read back one dispatched block (single packed leaf) and run the
+        per-frame host bookkeeping. Yields (ts, pose); returns True while
+        the chain stays intact (False -> caller discards any block
+        dispatched on top of this one)."""
+        import os
+        import time as _time
+        timing = os.environ.get("ORBSLAM2_TPU_TIMING") == "1"
+        t0 = _time.perf_counter()
+        mp = self.map
+        cam = self.cfg.camera
+        chunk = ctx["chunk"]
+        outs = ctx["outs"]
+        lp_pad, pvalid, best_kf = ctx["lp_pad"], ctx["pvalid"], ctx["best_kf"]
         K = len(chunk)
-        # per-frame cost = equal share of the block's dispatch+readback wall
-        # PLUS that frame's own host finish time (keyframe mapping etc.)
-        blk_share = (_time.perf_counter() - t_blk) * 1e3 / K
+        N = outs.kp_pt.shape[1]
+        pk = np.asarray(ctx["packed"])  # ONE leaf: blocks on the block
+        if timing:
+            print(f"  [blk-fetch: {1e3*(_time.perf_counter()-t0):.0f} ms]",
+                  flush=True)
+        blk_share = (_time.perf_counter() - t0) * 1e3 / K
+        P = len(lp_pad)
         for k in range(K):
             t_fin = _time.perf_counter()
             ts = chunk[k][0]
-            hdr = hdrs[k]
+            hdr = pk[k, :32].copy().view(np.float32)
+            kp_pt_raw = pk[k, 32:32 + N]
+            kp_mm = pk[k, 32 + N:32 + 2 * N]
+            flags = pk[k, 32 + 2 * N:32 + 3 * N]
+            depth = pk[k, 32 + 3 * N:32 + 4 * N].copy().view(np.float32)
+            frus_w = pk[k, 32 + 4 * N:].copy().view(np.uint32)
+            frus = ((frus_w[:, None] >> np.arange(32, dtype=np.uint32))
+                    & 1).astype(bool).ravel()[:P]
             T2 = hdr[12:24].reshape(3, 4)
             n_cand, n_mm, n_inl1_map, n_inl2_map = (int(v) for v in hdr[24:28])
             mm_success = (n_cand >= 10 and n_mm >= 20 and n_inl1_map >= 10)
             with mp.lock:
-                kp_pt = mp.resolve_point_ids(kp_pts[k])
-                pose = self._track_fused_finish(
-                    mp, cam, self.last_frame, ts, T2, n_cand, n_mm,
-                    n_inl1_map, n_inl2_map, imats[k][:, 1], imats[k][:, 2],
-                    fmats[k], imats[k], descs[k], in_frus[k], lp_pad, pvalid,
-                    best_kf, None, kp_pt=kp_pt, patch_dev=(outs.patch, k))
+                kp_pt = mp.resolve_point_ids(kp_pt_raw)
+                pose = self._blk_finish_frame(
+                    mp, ts, T2, n_inl2_map, kp_pt, kp_mm, flags, depth,
+                    frus, lp_pad, pvalid, best_kf, outs, k, mm_success)
                 mp.release_retired_points()
             self.last_frame_ms = blk_share + (_time.perf_counter()
                                               - t_fin) * 1e3
@@ -1073,15 +991,83 @@ class Tracker:
                 # chain broken mid-block: remaining frames re-track sync
                 self._blk_chain = None
                 for item in chunk[k + 1:]:
-                    t0 = _time.perf_counter()
+                    t0s = _time.perf_counter()
                     pose2 = self.process_image(item[1], item[0],
                                                depth_map=item[2],
                                                right_img=item[3])
-                    self.last_frame_ms = (_time.perf_counter() - t0) * 1e3
+                    self.last_frame_ms = (_time.perf_counter() - t0s) * 1e3
                     yield item[0], pose2
-                return True
+                return False
             self._blk_bindings = self.last_frame.pt_idx
         return True
+
+    def _blk_finish_frame(self, mp, timestamp, T2, n_inl2_map, kp_pt, kp_mm,
+                          flags, depth, in_frustum, lp_pad, pvalid, best_kf,
+                          outs, k, mm_success):
+        """Per-frame host bookkeeping for the block driver: builds a LAZY
+        frame (features stay on device in `outs`; materialized only by
+        keyframe creation / fallback paths via _ensure_features), applies
+        the visibility/found counters, and runs the shared state-machine
+        tail."""
+        frame = Frame(
+            frame_id=self.builder._next_id, timestamp=timestamp,
+            xy=None, xy_raw=None, octave=None, angle=None, response=None,
+            desc=None, valid=flags % 2 != 0, depth=depth.copy(),
+            ur=None, patch=None, n_feat=len(kp_pt))
+        self.builder._next_id += 1
+        frame._lazy = (outs, k)
+        frame._patch_dev = (outs.patch, k)
+        if not mm_success:
+            # staged fallback needs real features
+            self._ensure_features(frame)
+            self._last_dev = None
+            ok = self._track_reference_keyframe(frame)
+            if ok:
+                ok = self._track_local_map(frame)
+            return self._finish_frame(frame, ok)
+
+        frame.pt_idx = kp_pt.astype(np.int32).copy()
+        # temporal VO bindings never occur here (the block program runs
+        # with tmp_enable=False; localization-only mode uses the sync path)
+        frame.pose = T2.copy()
+        self.ref_kf = best_kf
+
+        # visibility / found bookkeeping (src/Tracking.cpp:1592-1616 + :1286)
+        last = self.last_frame
+        surv_rows = kp_mm[kp_mm >= 0]
+        cur_pts = last.pt_idx[surv_rows]
+        cur_pts = cur_pts[cur_pts >= 0]
+        mp.pt_visible[lp_pad[in_frustum & pvalid]] += 1
+        mp.pt_visible[cur_pts] += 1
+        matched = frame.pt_idx[frame.pt_idx >= 0]
+        mp.pt_found[matched] += 1
+
+        self.matches_inliers = n_inl2_map
+        need = 50 if self.n_lost_frames > 0 else 30
+        return self._finish_frame(frame, n_inl2_map >= need)
+
+    def _ensure_features(self, frame: Frame):
+        """Materialize a lazy block-driver frame's per-feature arrays from
+        the stacked device outputs (one batched fetch; the photometric
+        windows stay deferred via _ensure_patch)."""
+        lazy = getattr(frame, "_lazy", None)
+        if lazy is None:
+            return
+        outs, k = lazy
+        frame._lazy = None
+        from .utils import fetch
+        fmat, imat, desc = fetch(outs.fmat[k], outs.imat[k], outs.desc[k])
+        frame.xy = fmat[:, 0:2].copy()
+        frame.xy_raw = fmat[:, 2:4].copy()
+        frame.xy0 = fmat[:, 4:6].copy()
+        frame.ur = fmat[:, 6].copy()
+        frame.ur0 = fmat[:, 7].copy()
+        frame.angle = fmat[:, 9].copy()
+        frame.response = fmat[:, 10].copy()
+        frame.octave = imat[:, 0].copy()
+        frame.desc = desc
+        frame._refined = imat[:, 3] != 0
+        # depth/valid were decoded from the packed readback already
 
     def _relocalize(self, frame: Frame) -> bool:
         if self.relocalizer is None:
@@ -1089,6 +1075,7 @@ class Tracker:
         ok = self.relocalizer.relocalize(frame)
         if ok:
             self.matches_inliers = int((frame.pt_idx >= 0).sum())
+            self.last_reloc_frame_id = frame.frame_id
         return ok
 
     def _select_local_points(self, ref_bindings: np.ndarray):
@@ -1174,45 +1161,69 @@ class Tracker:
 
     # -------------------------------------------------------------- keyframes
     def _need_new_keyframe(self, frame: Frame) -> bool:
-        """NeedNewKeyFrame (src/Tracking.cpp:1308-1434): c1a/c1b/c1c/c2 plus
-        the async-queue backpressure check (:1417, KeyframesInQueue<3) —
-        without it a bounded mapping queue can force either a blocking
-        enqueue under the map lock (deadlock) or unbounded queue growth."""
+        """NeedNewKeyFrame (src/Tracking.cpp:1308-1434), the annotated
+        fork's exact rule set:
+
+        - relocalization cooldown: no insert within mMaxFrames of the last
+          relocalization while the map is large (:1329)
+        - ratioMap (stereo/RGB-D): tracked-in-map close points / all
+          close-depth candidates (:1352-1372)
+        - thRefRatio 0.75, 0.4 when nKFs<2, 0.9 monocular (:1378-1383)
+        - thMapRatio 0.35, 0.20 when inliers>300 (:1386-1388)
+        - c1a: >= mMaxFrames since last keyframe
+        - c1b: >= mMinFrames and mapper idle
+        - c1c: non-mono and (inliers < 0.25*ref or ratioMap < 0.3)
+        - c2: (inliers < thRefRatio*ref or ratioMap < thMapRatio) and
+          inliers > 15
+        - insert iff (c1a|c1b|c1c)&c2; when the mapper is busy, interrupt
+          its BA (InterruptBA, :1412) and insert only for stereo/RGB-D with
+          a short queue (<3, :1417); monocular never inserts while busy."""
         if self.ref_kf < 0:
             return False
         mp = self.map
-        min_obs = 3 if mp.n_keyframes > 2 else 2
+        n_kfs = mp.n_keyframes
+        max_f = self.cfg.max_frames_between_kf
+        if (self.last_reloc_frame_id >= 0
+                and frame.frame_id < self.last_reloc_frame_id + max_f
+                and n_kfs > max_f):
+            return False
+        min_obs = 3 if n_kfs > 2 else 2
         obs_counts = mp.point_obs_count()
         ref_pts = mp.kf_pt[self.ref_kf]
         ref_matches = int(((ref_pts >= 0) &
                            (obs_counts[np.clip(ref_pts, 0, None)] >= min_obs)).sum())
-        # c1c for stereo/RGB-D: too few tracked close points while enough
-        # untracked close ones are available (src/Tracking.cpp:1368-1384)
-        need_close = False
+        ratio_map = 1.0
         if self.cfg.sensor != Sensor.MONOCULAR:
             close = (frame.depth > 0) & \
                 (frame.depth < self.cfg.close_depth_threshold) & frame.valid
-            tracked_close = int((close & (frame.pt_idx >= 0)).sum())
-            untracked_close = int((close & (frame.pt_idx < 0)).sum())
-            need_close = tracked_close < 100 and untracked_close > 70
-        ratio = 0.9 if self.cfg.sensor == Sensor.MONOCULAR else 0.75
-        frames_since = frame.frame_id - self.last_kf_frame_id
-        c1a = frames_since >= self.cfg.max_frames_between_kf
-        c1b = frames_since >= self.cfg.min_frames_between_kf and \
-            (self.matches_inliers < 0.9 * ref_matches or need_close)
-        c2 = (self.matches_inliers < ratio * ref_matches or need_close) and \
-            self.matches_inliers > 15
-        need = bool((c1a or c1b) and c2) or (c1a and self.matches_inliers > 15)
-        if not need:
-            return False
-        # Async-mapper acceptance (src/Tracking.cpp:1402-1432): if the
-        # mapper is busy, MONOCULAR never inserts (the mapping thread's
-        # throughput throttles the keyframe rate); stereo/RGB-D interrupt
-        # the local BA and insert only while the queue is short (<3).
+            pt = frame.pt_idx
+            in_map = (pt >= 0) & (obs_counts[np.clip(pt, 0, None)] > 0)
+            n_total = int(close.sum())
+            n_map = int((close & in_map).sum())
+            ratio_map = n_map / max(1, n_total)
+        th_ref = 0.75
+        if n_kfs < 2:
+            th_ref = 0.4
+        if self.cfg.sensor == Sensor.MONOCULAR:
+            th_ref = 0.9
+        th_map = 0.20 if self.matches_inliers > 300 else 0.35
         lm = self.local_mapper
         idle_fn = getattr(lm, "idle", None) if lm is not None else None
-        if idle_fn is None or idle_fn():
+        idle = idle_fn() if idle_fn is not None else True
+        frames_since = frame.frame_id - self.last_kf_frame_id
+        c1a = frames_since >= max_f
+        c1b = frames_since >= self.cfg.min_frames_between_kf and idle
+        c1c = self.cfg.sensor != Sensor.MONOCULAR and \
+            (self.matches_inliers < 0.25 * ref_matches or ratio_map < 0.3)
+        c2 = (self.matches_inliers < th_ref * ref_matches
+              or ratio_map < th_map) and self.matches_inliers > 15
+        if not ((c1a or c1b or c1c) and c2):
+            return False
+        if idle:
             return True
+        interrupt = getattr(lm, "interrupt_ba", None)
+        if interrupt is not None:
+            interrupt()
         if self.cfg.sensor == Sensor.MONOCULAR:
             return False
         return getattr(lm, "queue_depth", lambda: 0)() < 3
@@ -1221,6 +1232,7 @@ class Tracker:
         """CreateNewKeyFrame (src/Tracking.cpp:1436-1534). For stereo/RGB-D,
         spawn close-depth points for unmatched features (:1459-1519)."""
         mp = self.map
+        self._ensure_features(frame)
         _ensure_patch(frame)
         k = mp.add_keyframe(frame.pose, frame.timestamp, frame.frame_id,
                             frame.xy, frame.octave, frame.angle, frame.desc,

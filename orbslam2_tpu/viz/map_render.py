@@ -79,6 +79,15 @@ def render_frame_overlay(img, frame, path="frame.png"):
 
     fig, ax = plt.subplots(figsize=(10, 7.5))
     ax.imshow(img, cmap="gray", vmin=0, vmax=255)
+    if frame.xy_raw is None:
+        # lazy block-driver frame whose features were never materialized:
+        # draw the image alone rather than forcing a device fetch from the
+        # viewer thread
+        ax.set_title(f"frame {frame.frame_id}")
+        ax.axis("off")
+        fig.savefig(path, dpi=100, bbox_inches="tight", format="png")
+        plt.close(fig)
+        return path
     v = frame.valid
     tracked = v & (frame.pt_idx >= 0)
     ax.scatter(frame.xy_raw[v & ~tracked, 0], frame.xy_raw[v & ~tracked, 1],
