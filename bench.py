@@ -34,23 +34,43 @@ import time
 import numpy as np
 
 
-def _full_system():
+def _full_system(sensor_name: str = "mono", n_frames: int = 60):
+    from dataclasses import replace
     from orbslam2_tpu.config import SlamConfig, Sensor, with_camera
     from orbslam2_tpu.io import synth
     from orbslam2_tpu.system import System
 
-    n_frames = 60
     n_warm = 8    # compile + init frames excluded from the median
+    sensor = {"mono": Sensor.MONOCULAR, "rgbd": Sensor.RGBD,
+              "stereo": Sensor.STEREO}[sensor_name]
     scene = synth.make_room(seed=0)
     gt = synth.orbit_trajectory(n_frames)
     cfg = with_camera(
-        SlamConfig(sensor=Sensor.MONOCULAR),
+        SlamConfig(sensor=sensor,
+                   th_depth=25.0 if sensor != Sensor.MONOCULAR else 35.0),
         fx=float(scene.K[0, 0]), fy=float(scene.K[1, 1]),
         cx=float(scene.K[0, 2]), cy=float(scene.K[1, 2]),
         k1=0.0, k2=0.0, p1=0.0, p2=0.0, k3=0.0,
         width=scene.width, height=scene.height)
-    imgs = [np.clip(synth.render_room(scene, gt[i], seed=i), 0, 255
-                    ).astype(np.uint8) for i in range(n_frames)]
+    if sensor != Sensor.MONOCULAR:
+        cfg = replace(cfg, camera=replace(cfg.camera, bf=250.0))
+    baseline = cfg.camera.bf / cfg.camera.K[0][0]
+
+    def make_frame(i):
+        img = np.clip(synth.render_room(scene, gt[i], seed=i), 0, 255
+                      ).astype(np.uint8)
+        data = {"image": img}
+        if sensor == Sensor.RGBD:
+            data["depth"] = synth.depth_room(scene, gt[i])
+        elif sensor == Sensor.STEREO:
+            T_r = gt[i].copy()
+            T_r[:, 3] = T_r[:, 3] - np.array([baseline, 0, 0], np.float32)
+            data["right"] = np.clip(
+                synth.render_room(scene, T_r, seed=10_000 + i), 0, 255
+            ).astype(np.uint8)
+        return i / 30.0, data
+
+    frames_data = [make_frame(i) for i in range(n_frames)]
     # Warmup pass: drive a throwaway System over the SAME sequence in the
     # SAME configuration so every steady-state program (init sweeps, the
     # block tracker, every BA/scatter bucket the run reaches, keyframe
@@ -61,17 +81,15 @@ def _full_system():
     # outside its per-frame instrumentation too (mono_tum.cc:78-95 times
     # only Track*).
     warm = System(cfg, async_mapping=True)
-    warm_frames = [(i / 30.0, {"image": imgs[i]}) for i in range(n_frames)]
-    warm.run_sequence(iter(warm_frames), pipelined=True)
+    warm.run_sequence(iter(frames_data), pipelined=True)
     warm.shutdown()
     # Measured run: async_mapping=True is the production configuration —
     # keyframe mapping (triangulate/fuse/local-BA) runs on a worker thread
     # under MapState.lock, concurrent with block tracking, exactly the
     # reference's LocalMapping thread model (src/System.cpp:104-105).
     slam = System(cfg, async_mapping=True)
-    frames = [(i / 30.0, {"image": imgs[i]}) for i in range(n_frames)]
     t0 = time.perf_counter()
-    tracked = slam.run_sequence(iter(frames), pipelined=True)
+    tracked = slam.run_sequence(iter(frames_data), pipelined=True)
     wall = time.perf_counter() - t0
     slam.shutdown()   # drain the mapping worker before reading the map
     recs = slam.metrics.records
@@ -95,8 +113,9 @@ def _full_system():
         if len(poses) >= 10:
             sel = np.clip(np.round(np.asarray(ts) * 30).astype(int), 0,
                           n_frames - 1)
-            ate = float(EV.ate_rmse(EV.camera_centers(poses),
-                                    EV.camera_centers(gt[sel])))
+            ate = float(EV.ate_rmse(
+                EV.camera_centers(poses), EV.camera_centers(gt[sel]),
+                with_scale=(sensor == Sensor.MONOCULAR)))
     except Exception:
         pass
     return dict(median_ms=med, mean_ms=mean, tracked=tracked, n=n_frames,
@@ -192,6 +211,22 @@ def main():
           f"device {jax.devices()[0].platform}; vs_baseline = "
           f"{REF_MEDIAN_MS} ms (measured reference median) / ours",
           file=sys.stderr)
+    # multi-sensor rows (the reference's primary published results are
+    # stereo/RGB-D — BASELINE.md): full-System medians on the same room
+    for sensor_name in ("rgbd", "stereo"):
+        try:
+            row = _full_system(sensor_name, n_frames=48)
+            ok = (row["tracked"] >= 0.9 * row["n_trackable"]
+                  and row["n_init"] <= 0.3 * row["n"])
+            print(f"# FULL SYSTEM [{sensor_name}]: median "
+                  f"{row['median_ms']:.1f} ms/frame "
+                  f"(mean {row['mean_ms']:.1f}), tracked {row['tracked']}/"
+                  f"{row['n_trackable']}, keyframes {row['keyframes']}, "
+                  f"metric ATE {row['ate_m']*100:.2f} cm, gate "
+                  f"{'ok' if ok else 'FAILED'}", file=sys.stderr)
+        except Exception as e:
+            print(f"# FULL SYSTEM [{sensor_name}] failed "
+                  f"({type(e).__name__}: {e})", file=sys.stderr)
     try:
         micro_ms, med_inl = _microbench()
         print(f"# microbench (map-frozen fused step, per-frame pose "

@@ -130,3 +130,42 @@ def fuse_targets(T_t, kp_xy_t, kp_oct_t, kp_desc_t, kp_valid_t, kp_ur_t,
         fx, fy, cx, cy, bf, width, height, n_levels, log_scale,
         jnp.float32(3.0), dedup=False)
     return idx_a, res_b.idx
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("fx", "fy", "cx", "cy", "bf", "width", "height",
+                     "n_levels", "log_scale"))
+def fuse_scw(T_g, kp_xy_g, kp_oct_g, kp_desc_g, kp_valid_g, kp_ur_g,
+             p_xyz, p_valid, p_desc, p_normal, p_mind, p_maxd,
+             sf, fx: float, fy: float, cx: float, cy: float, bf: float,
+             width: int, height: int, n_levels: int, log_scale: float):
+    """Group-wide loop fusion (ORBmatcher::Fuse(Scw) swept over the
+    corrected covisible group — LoopClosing::SearchAndFuse,
+    src/LoopClosing.cpp:744-789) in ONE dispatch.
+
+    T_g [G,3,4]: the group's CORRECTED (SE3-demoted) poses — projecting
+    the demoted pose is numerically identical to projecting the Scw
+    similarity (the scale cancels in the perspective divide; the distance
+    band uses |p_c|/s which the demoted pose yields directly).
+    kp_* [G,N,...]: the group keyframes' feature arrays.
+    p_* [P]: the loop-region point set (padded, p_valid mask).
+
+    Returns idx [G,P]: matched keypoint per (group KF, loop point), -1
+    none. dedup=False — multiple loop points claiming one keypoint MUST
+    surface so the host can merge (the reference's replace mechanism).
+    Radius th=1.0 -> 2.5-4 px x scale (the reference's Fuse(Scw) 4 px)."""
+    no_already = jnp.zeros(p_xyz.shape[0], bool)
+
+    def step(_, inputs):
+        T2, xyj, octj, descj, validj, urj = inputs
+        res, _ = FM.local_points_core(
+            T2, p_xyz, p_valid, p_desc, p_normal, p_mind, p_maxd,
+            no_already, xyj, octj, descj, validj, urj, sf,
+            fx, fy, cx, cy, bf, width, height, n_levels, log_scale,
+            jnp.float32(1.0), dedup=False)
+        return 0, res.idx
+
+    _, idx = jax.lax.scan(
+        step, 0, (T_g, kp_xy_g, kp_oct_g, kp_desc_g, kp_valid_g, kp_ur_g))
+    return idx

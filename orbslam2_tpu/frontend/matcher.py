@@ -184,6 +184,25 @@ def match_descriptors_ratio(desc_a, valid_a, angle_a, desc_b, valid_b, angle_b):
     return M.resolve_duplicate_targets(res, desc_b.shape[0])
 
 
+@jax.jit
+def match_by_bow(desc_a, valid_a, angle_a, node_a,
+                 desc_b, valid_b, angle_b, node_b):
+    """SearchByBoW with the reference's FeatureVector node gate
+    (src/ORBmatcher.cpp:243-299): only descriptors under the SAME depth-2
+    vocabulary node are compared — the gate is both a selectivity filter
+    (coarse appearance agreement before Hamming argmin) and, in the
+    reference, a ~10x candidate cut. node_a/node_b: [*] int32 gate node per
+    feature (-1 = unassigned, never matches). TH_LOW + ratio 0.7 +
+    rotation histogram, as the ungated form."""
+    dist = M.hamming_matrix(desc_a, desc_b)
+    same = (node_a[:, None] == node_b[None, :]) & (node_a >= 0)[:, None]
+    cand = valid_a[:, None] & valid_b[None, :] & same
+    res = M.masked_best_match(dist, cand, M.TH_LOW, 0.7)
+    ok = M.rotation_consistency(angle_a, angle_b, res.idx, res.valid)
+    res = M.MatchResult(jnp.where(ok, res.idx, -1), jnp.where(ok, res.dist, BIG))
+    return M.resolve_duplicate_targets(res, desc_b.shape[0])
+
+
 def epipolar_match_core(T1, T2, kp1_xy, kp1_oct, desc1, free1,
                         kp2_xy, kp2_oct, desc2, free2, sigma2_levels,
                         fx, fy, cx, cy):

@@ -140,10 +140,13 @@ class LocalMapper:
 
     def register_keyframe(self, kf: int):
         """BoW transform + place-recognition index insert
-        (ProcessNewKeyFrame's ComputeBoW + KeyFrameDatabase::add)."""
+        (ProcessNewKeyFrame's ComputeBoW + KeyFrameDatabase::add). Also
+        stores the per-feature FeatureVector gate nodes for node-gated
+        SearchByBoW (src/ORBmatcher.cpp:243-299)."""
         if self.kf_db is not None and self.bow_encode is not None:
-            vec = self.bow_encode(self.map.kf_desc[kf],
-                                  self.map.kf_feat_valid[kf])
+            vec, nodes = self.bow_encode(self.map.kf_desc[kf],
+                                         self.map.kf_feat_valid[kf])
+            self.map.kf_bow_node[kf] = nodes
             self.kf_db.add(kf, vec)
 
     # ------------------------------------------------------------- refinement

@@ -49,6 +49,8 @@ class LoopCloser:
         self.kf_counter = 0
         self.loop_edges: list[tuple[int, int]] = []
         self.n_loops_closed = 0
+        self.n_loop_fused = 0       # SearchAndFuse merges at the last loop
+        self.last_pgo_edges: dict = {}  # edge-set stats of the last PGO
 
     # ------------------------------------------------------------------ entry
     def process(self, kf: int) -> bool:
@@ -105,13 +107,17 @@ class LoopCloser:
             if not mp.kf_valid[kc]:
                 continue
             # match features that carry map points in both keyframes (:327)
+            # via node-gated SearchByBoW (both keyframes carry FeatureVector
+            # gate nodes from registration; src/ORBmatcher.cpp:243-299)
             has1 = mp.kf_pt[kf] >= 0
             has2 = mp.kf_pt[kc] >= 0
-            res = FM.match_descriptors_ratio(
+            res = FM.match_by_bow(
                 jnp.asarray(mp.kf_desc[kf]), jnp.asarray(has1),
                 jnp.asarray(mp.kf_angle[kf]),
+                jnp.asarray(mp.kf_bow_node[kf]),
                 jnp.asarray(mp.kf_desc[kc]), jnp.asarray(has2),
-                jnp.asarray(mp.kf_angle[kc]))
+                jnp.asarray(mp.kf_angle[kc]),
+                jnp.asarray(mp.kf_bow_node[kc]))
             midx = np.asarray(res.idx)
             i1 = np.flatnonzero(midx >= 0)
             if len(i1) < 20:  # :327-334
@@ -415,8 +421,24 @@ class LoopCloser:
                 elif existing < 0:
                     mp.kf_pt[kf, f_i] = int(p)
 
-        # essential-graph optimization (:715; src/Optimizer.cpp:944)
-        self._optimize_essential_graph(kf, kc, pre_pose)
+        # group-wide SearchAndFuse (:744-789): project the loop-region
+        # points into EVERY corrected keyframe and merge duplicates — this
+        # is what creates the cross-loop covisibility links the essential
+        # graph then leans on. Snapshot each member's neighbors first so
+        # the NEW links can be diffed out (LoopConnections, :684-711).
+        prev_neigh = {g: set(int(x) for x in mp.covisible_kfs(g))
+                      for g in group}
+        self.n_loop_fused = self._search_and_fuse(group, kc)
+        group_set = set(group)
+        loop_connections: set[tuple[int, int]] = set()
+        for g in group:
+            now = set(int(x) for x in mp.covisible_kfs(g))
+            for n in now - prev_neigh[g] - group_set:
+                loop_connections.add((g, int(n)))
+
+        # essential-graph optimization (:715; src/Optimizer.cpp:944) —
+        # the new cross-loop links enter with corrected-pose measurements
+        self._optimize_essential_graph(kf, kc, pre_pose, loop_connections)
         self.loop_edges.append((kf, kc))
 
         # global BA (RunGlobalBundleAdjustment :811). With a GlobalBA
@@ -430,14 +452,78 @@ class LoopCloser:
             kfs = [int(k) for k in mp.kf_ids]
             self.local_mapper.run_ba(kfs, fixed=[kc], iters=(5, 10))
 
-    def _optimize_essential_graph(self, kf: int, kc: int, pre_pose):
+    def _search_and_fuse(self, group: list[int], kc: int) -> int:
+        """LoopClosing::SearchAndFuse (src/LoopClosing.cpp:744-789):
+        project the loop-region points into every corrected group keyframe
+        (batched — engine_keyframe.fuse_scw, one dispatch) and merge: an
+        existing conflicting point is REPLACED by the loop point (the loop
+        side is the older, better-constrained geometry); an empty feature
+        adopts the loop point as a new observation. Returns the number of
+        replacements+additions applied."""
+        mp = self.map
+        cam = self.cfg.camera
+        pts = self._loop_points(kc)
+        if len(pts) == 0:
+            return 0
+        cap = self.cfg.local_points_cap
+        pts = pts[:cap]
+        pad = cap - len(pts)
+        lp = np.concatenate([pts, np.zeros(pad, pts.dtype)])
+        pv = np.concatenate([np.ones(len(pts), bool), np.zeros(pad, bool)])
+        G = 16  # strongest-covisibility-first group bucket
+        grp = np.asarray((group + [group[0]] * G)[:G], np.int32)
+        g_live = np.arange(G) < min(len(group), G)
+
+        from . import engine_keyframe as EK
+        idx = np.asarray(EK.fuse_scw(
+            jnp.asarray(mp.kf_pose[grp]), jnp.asarray(mp.kf_xy[grp]),
+            jnp.asarray(mp.kf_octave[grp]), jnp.asarray(mp.kf_desc[grp]),
+            jnp.asarray(mp.kf_feat_valid[grp] & g_live[:, None]),
+            jnp.asarray(mp.kf_ur[grp]),
+            jnp.asarray(mp.pt_xyz[lp]), jnp.asarray(pv),
+            jnp.asarray(mp.pt_desc[lp]), jnp.asarray(mp.pt_normal[lp]),
+            jnp.asarray(mp.pt_min_dist[lp]), jnp.asarray(mp.pt_max_dist[lp]),
+            jnp.asarray(F.scale_factors(self.cfg.orb)),
+            cam.fx, cam.fy, cam.cx, cam.cy, cam.bf,
+            cam.width, cam.height, self.cfg.orb.n_levels,
+            float(np.log(self.cfg.orb.scale_factor))))
+        n_applied = 0
+        touched: list[int] = []
+        for j in range(min(len(group), G)):
+            g = int(grp[j])
+            lp_res = mp.resolve_point_ids(lp)
+            for s in np.flatnonzero(idx[j] >= 0):
+                p = int(lp_res[s])
+                if p < 0 or not mp.pt_valid[p]:
+                    continue
+                feat = int(idx[j, s])
+                existing = int(mp.kf_pt[g, feat])
+                if existing == p:
+                    continue
+                if existing >= 0 and mp.pt_valid[existing]:
+                    # the loop point wins (src/LoopClosing.cpp:780-787)
+                    mp.replace_point(existing, p)
+                else:
+                    mp.kf_pt[g, feat] = p
+                touched.append(p)
+                n_applied += 1
+        if touched:
+            mp.refresh_point_stats(np.unique(touched))
+        return n_applied
+
+    def _optimize_essential_graph(self, kf: int, kc: int, pre_pose,
+                                  loop_connections=None):
         mp = self.map
         K = mp.kf_pose.shape[0]
         valid = mp.kf_valid.copy()
         ids = np.flatnonzero(valid)
-        # edges: spanning tree + strong covisibility (>=100) + loop edges —
-        # one full covisibility-matrix pass (native kernel) instead of a
-        # per-KF O(K^2 N) voting loop
+        # edges: spanning tree + strong covisibility (>=100) + loop edges +
+        # the post-fuse NEW cross-loop links (LoopConnections) — one full
+        # covisibility-matrix pass (native kernel) instead of a per-KF
+        # O(K^2 N) voting loop
+        loop_conn = set()
+        for (a, b) in (loop_connections or ()):  # normalize orientation
+            loop_conn.add((min(int(a), int(b)), max(int(a), int(b))))
         e_set = set()
         for k in ids:
             p = mp.kf_parent[k]
@@ -449,17 +535,30 @@ class LoopCloser:
         for (a, b) in self.loop_edges + [(kf, kc)]:
             if valid[a] and valid[b]:
                 e_set.add((int(a), int(b)))
+        for (a, b) in loop_conn:
+            if valid[a] and valid[b]:
+                e_set.add((a, b))
         edges = sorted(e_set)
         if not edges:
             return
+        self.last_pgo_edges = {
+            "n_edges": len(edges),
+            "n_loop_conn": sum(1 for (a, b) in edges
+                               if (min(a, b), max(a, b)) in loop_conn),
+        }
         e_i = np.array([a for a, b in edges], np.int32)
         e_j = np.array([b for a, b in edges], np.int32)
 
-        # measurements from pre-correction poses (the drifty odometry), except
-        # the new loop edge which uses the CURRENT (corrected) relative pose
+        # measurements from pre-correction poses (the drifty odometry),
+        # except the new loop edge AND the post-fuse LoopConnections, whose
+        # endpoints' relative geometry only exists in the CORRECTED poses
+        # (the reference computes them from CorrectedSim3,
+        # src/Optimizer.cpp:977-1043)
         ms, mR, mt = [], [], []
         for (a, b) in edges:
-            if (a, b) == (kf, kc) or (a, b) == (kc, kf):
+            corrected = ((a, b) == (kf, kc) or (a, b) == (kc, kf)
+                         or (min(a, b), max(a, b)) in loop_conn)
+            if corrected:
                 Ta, Tb = mp.kf_pose[a], mp.kf_pose[b]
             else:
                 Ta, Tb = pre_pose[a], pre_pose[b]

@@ -178,6 +178,9 @@ class MapState:
         # spanning tree: parent = most covisible KF at insertion
         # (KeyFrame::ChangeParent/AddChild, include/KeyFrame.h:77-82)
         self.kf_parent = np.full(K, -1, np.int32)
+        # per-feature depth-2 vocabulary node (the reference's FeatureVector,
+        # filled at BoW registration; -1 = unassigned) — gates SearchByBoW
+        self.kf_bow_node = np.full((K, N), -1, np.int32)
         self.__post_init_extra__()
 
     # ------------------------------------------------------------------ slots
@@ -187,7 +190,7 @@ class MapState:
         fills = {"kf_pt": -1, "kf_parent": -1, "kf_frame_id": -1,
                  "pt_ref_kf": -1, "pt_first_kf": -1, "pt_redirect": -1,
                  "kf_depth": -1.0, "kf_ur": -1.0, "kf_ur0": -1.0,
-                 "pt_visible": 1.0, "pt_found": 1.0}
+                 "kf_bow_node": -1, "pt_visible": 1.0, "pt_found": 1.0}
         for name in fields:
             a = getattr(self, name)
             extra = np.full((axis0_new - a.shape[0],) + a.shape[1:],
@@ -197,7 +200,7 @@ class MapState:
     _KF_FIELDS = ("kf_valid", "kf_pose", "kf_timestamp", "kf_frame_id",
                   "kf_xy", "kf_octave", "kf_angle", "kf_desc", "kf_depth",
                   "kf_ur", "kf_feat_valid", "kf_pt", "kf_parent", "kf_patch",
-                  "kf_xy0", "kf_ur0")
+                  "kf_xy0", "kf_ur0", "kf_bow_node")
     _PT_FIELDS = ("pt_valid", "pt_xyz", "pt_desc", "pt_normal",
                   "pt_min_dist", "pt_max_dist", "pt_ref_kf", "pt_first_kf",
                   "pt_visible", "pt_found", "pt_patch", "pt_redirect")
@@ -539,7 +542,7 @@ class MapState:
         "kf_feat_valid", "kf_pt", "pt_valid", "pt_xyz", "pt_desc",
         "pt_normal", "pt_min_dist", "pt_max_dist", "pt_ref_kf",
         "pt_first_kf", "pt_visible", "pt_found", "kf_parent",
-        "kf_patch", "pt_patch", "kf_xy0", "kf_ur0",
+        "kf_patch", "pt_patch", "kf_xy0", "kf_ur0", "kf_bow_node",
     )
 
     def save(self, path):

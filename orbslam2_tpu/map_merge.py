@@ -39,7 +39,7 @@ def find_cross_map_alignment(sys_a, map_b: MapState, bow_encode, sample=8):
     step = max(len(kf_bs) // sample, 1)
     for kb in kf_bs[::step]:
         kb = int(kb)
-        vec = bow_encode(map_b.kf_desc[kb], map_b.kf_feat_valid[kb])
+        vec, _ = bow_encode(map_b.kf_desc[kb], map_b.kf_feat_valid[kb])
         cands = sys_a.kf_db.detect_reloc_candidates(vec)
         for ka in cands[:3]:
             ka = int(ka)

@@ -16,6 +16,14 @@ import jax
 import jax.numpy as jnp
 
 
+# Depth of the FeatureVector node gate (DBoW2 levelsup: ORB-SLAM2 stores
+# nodes 4 levels above the leaves of its L=6 k=10 vocabulary — depth 2,
+# ~100 groups; src/ORBmatcher.cpp:243-299 compares only descriptors under
+# the same node). Same depth here: the default k=11 L=5 vocabulary has 121
+# depth-2 nodes.
+GATE_DEPTH = 2
+
+
 @functools.partial(jax.jit, static_argnames=("levels",))
 def assign_words(node_desc, node_children, node_word, desc, valid,
                  levels: int):
@@ -23,11 +31,14 @@ def assign_words(node_desc, node_children, node_word, desc, valid,
 
     node_desc: [N, 8] u32; node_children: [N, k] i32 (-1 pad);
     node_word: [N] i32 (leaf word id or -1); desc: [M, 8] u32.
-    Returns word ids [M] (0 where invalid).
+    Returns (word ids [M] (0 where invalid), valid [M], gate node ids [M] —
+    the node reached at depth GATE_DEPTH, the reference's FeatureVector
+    entry used for node-gated SearchByBoW).
     """
     M = desc.shape[0]
     nid = jnp.zeros((M,), jnp.int32)
-    for _ in range(levels):
+    gate = nid
+    for lv in range(levels):
         ch = node_children[nid]                      # [M, k]
         ch_desc = node_desc[jnp.clip(ch, 0)]          # [M, k, 8]
         x = jnp.bitwise_xor(ch_desc, desc[:, None, :])
@@ -37,8 +48,11 @@ def assign_words(node_desc, node_children, node_word, desc, valid,
         # stop at leaves / childless nodes
         has_child = (ch >= 0).any(-1)
         nid = jnp.where(has_child & (node_word[nid] < 0), best, nid)
+        if lv == GATE_DEPTH - 1:
+            gate = nid
     w = node_word[nid]
-    return jnp.where(valid & (w >= 0), w, 0), valid & (w >= 0)
+    ok = valid & (w >= 0)
+    return jnp.where(ok, w, 0), ok, jnp.where(ok, gate, -1)
 
 
 @functools.partial(jax.jit, static_argnames=("n_words",))

@@ -852,17 +852,19 @@ class Tracker:
                             for item in bad["chunk"]:
                                 yield sync_one(item)
                     continue
-                if inflight is not None and (buf or not full_only):
-                    # a sync frame (or the tail) must run next: results
-                    # must come back in order, so finish the pipeline first
-                    yield from drain_inflight()
-                    continue
-                if buf and not (full_only and can):
+                # a sync frame must run next only when frames are waiting
+                # and blocks cannot absorb them (not-OK state, tail flush);
+                # otherwise leave the in-flight block IN FLIGHT and return
+                # for more input — that in-flight overlap is the pipeline.
+                need_sync = bool(buf) and not (full_only and can)
+                if need_sync or (not full_only and inflight is not None):
+                    if inflight is not None:
+                        yield from drain_inflight()
+                        continue  # state may have changed: re-evaluate
+                if need_sync:
                     item, buf = buf[0], buf[1:]
                     yield sync_one(item)
                     continue
-                if not full_only:
-                    yield from drain_inflight()
                 return
 
         for ts, data in frames:

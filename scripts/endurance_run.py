@@ -1,0 +1,121 @@
+"""KITTI-scale full-System endurance run (VERDICT r4 item 5).
+
+Drives the COMPLETE production system — block-pipelined tracking, async
+mapping with culling, loop closing, background GBA — over a 1000+ frame
+synthetic corridor circuit with multiple laps (each revisit must close a
+loop), the scale class where the reference's real workloads live
+(KITTI 00 ~4500 frames, Examples/Stereo/stereo_kitti.cpp). Frames are
+rendered lazily so memory stays flat.
+
+Usage:
+    python scripts/endurance_run.py [--frames 1200] [--laps 2.5]
+        [--sensor mono|rgbd|stereo] [--cpu] [--noise 2.5]
+
+Prints one JSON line with fps, ATE, and map statistics; paste into
+BASELINE.md (endurance section).
+"""
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=1200)
+    ap.add_argument("--laps", type=float, default=2.5)
+    ap.add_argument("--sensor", default="mono",
+                    choices=["mono", "rgbd", "stereo"])
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (fast compiles, for CI)")
+    ap.add_argument("--noise", type=float, default=2.5)
+    ap.add_argument("--radius", type=float, default=8.0)
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tpu"
+                      if not args.cpu else "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+    import numpy as np
+    from dataclasses import replace
+    from orbslam2_tpu.config import Sensor, SlamConfig, with_camera
+    from orbslam2_tpu.io import synth
+    from orbslam2_tpu.system import System
+    from orbslam2_tpu.utils.evaluation import ate_rmse, camera_centers
+
+    N = args.frames
+    scene = synth.make_corridor(seed=3)
+    gt = synth.corridor_trajectory(N, radius=args.radius, laps=args.laps)
+    sensor = {"mono": Sensor.MONOCULAR, "rgbd": Sensor.RGBD,
+              "stereo": Sensor.STEREO}[args.sensor]
+    cfg = with_camera(
+        SlamConfig(sensor=sensor,
+                   th_depth=25.0 if sensor != Sensor.MONOCULAR else 35.0),
+        fx=float(scene.K[0, 0]), fy=float(scene.K[1, 1]),
+        cx=float(scene.K[0, 2]), cy=float(scene.K[1, 2]),
+        width=scene.width, height=scene.height)
+    if sensor != Sensor.MONOCULAR:
+        cfg = replace(cfg, camera=replace(cfg.camera, bf=250.0))
+    baseline = cfg.camera.bf / cfg.camera.K[0][0]
+
+    def frames():
+        for i in range(N):
+            img = synth.render_room(scene, gt[i], noise=args.noise, seed=i)
+            data = {"image": np.clip(img, 0, 255).astype(np.uint8)}
+            if sensor == Sensor.RGBD:
+                data["depth"] = synth.depth_room(scene, gt[i])
+            elif sensor == Sensor.STEREO:
+                T_r = gt[i].copy()
+                # right camera: shift along the camera x-axis by baseline
+                T_r[:, 3] = T_r[:, 3] - np.array([baseline, 0, 0],
+                                                 np.float32)
+                imr = synth.render_room(scene, T_r, noise=args.noise,
+                                        seed=10_000 + i)
+                data["right"] = np.clip(imr, 0, 255).astype(np.uint8)
+            yield i / 30.0, data
+
+    slam = System(cfg, async_mapping=True)
+    t0 = time.perf_counter()
+    tracked = slam.run_sequence(frames(), pipelined=True, progress_every=200)
+    wall = time.perf_counter() - t0
+    slam.shutdown()
+
+    recs = slam.metrics.records
+    times = np.array([r.track_ms for r in recs])
+    first_ok = next((i for i, r in enumerate(recs) if r.state == "OK"),
+                    len(recs))
+    med = float(np.median(times[max(first_ok, 8):]))
+    ts, est = slam.tracker.trajectory()
+    ate = float("nan")
+    if len(est) >= 10:
+        fids = np.clip(np.round(np.asarray(ts) * 30).astype(int), 0, N - 1)
+        ate = float(ate_rmse(camera_centers(est), camera_centers(gt[fids]),
+                             with_scale=(sensor == Sensor.MONOCULAR)))
+    out = {
+        "sensor": args.sensor, "frames": N, "laps": args.laps,
+        "tracked": tracked, "first_ok": first_ok,
+        "median_ms": round(med, 1),
+        "fps": round(1000.0 / med, 2) if med > 0 else 0.0,
+        "wall_s": round(wall, 1),
+        "ate_m": round(ate, 4),
+        "keyframes": slam.map.n_keyframes,
+        "points": slam.map.n_points,
+        "kf_created_total": int(slam.map.next_kf_id),
+        "kf_culled": int(slam.map.next_kf_id) - slam.map.n_keyframes,
+        "loops": slam.loop_closer.n_loops_closed,
+        "gba_applied": slam.global_ba.n_applied,
+        "loop_fused": slam.loop_closer.n_loop_fused,
+        "device": jax.devices()[0].platform,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

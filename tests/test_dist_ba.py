@@ -94,3 +94,46 @@ class TestLargeScaleBA:
         assert len(sp.pts.sharding.device_set) == 8
         colls = lowered_collectives(prob, mesh, fx, fy, cx, cy, 0.0)
         assert colls, "no collectives in the sharded BA program"
+
+
+class TestDistPGO:
+    """Sharded pose-graph optimizer (parallel/dist_pgo.py): the loop-
+    closure solver's edge set sharded over the virtual mesh, vertices
+    replicated — sharded == single-device parity + collectives present
+    (VERDICT r3 item 10; reference counterpart src/Optimizer.cpp:944)."""
+
+    def _problem(self):
+        import sys
+        sys.path.insert(0, "/root/repo")
+        from __graft_entry__ import _make_pgo_problem
+        return tuple(jnp.asarray(a) for a in _make_pgo_problem(K=64))
+
+    def test_sharded_matches_single_device(self):
+        from orbslam2_tpu.parallel.dist_pgo import dist_pose_graph
+        prob = self._problem()
+        sv1, R1, t1, _ = dist_pose_graph(make_mesh(1), *prob, iters=5)
+        svN, RN, tN, _ = dist_pose_graph(make_mesh(len(jax.devices())),
+                                         *prob, iters=5)
+        assert np.isfinite(np.asarray(tN)).all()
+        np.testing.assert_allclose(np.asarray(tN), np.asarray(t1), atol=2e-2)
+        np.testing.assert_allclose(np.asarray(svN), np.asarray(sv1),
+                                   atol=1e-3)
+
+    def test_collectives_lowered(self):
+        from orbslam2_tpu.parallel.dist_pgo import lowered_collectives_pgo
+        prob = self._problem()
+        colls = lowered_collectives_pgo(make_mesh(len(jax.devices())), *prob)
+        assert colls, "sharded PGO must lower collectives"
+
+    def test_reduces_loop_drift(self):
+        from orbslam2_tpu.parallel.dist_pgo import dist_pose_graph
+        import sys
+        sys.path.insert(0, "/root/repo")
+        from __graft_entry__ import _make_pgo_problem
+        raw = _make_pgo_problem(K=64)
+        prob = tuple(jnp.asarray(a) for a in raw)
+        svN, RN, tN, costs = dist_pose_graph(
+            make_mesh(len(jax.devices())), *prob, iters=10)
+        costs = np.asarray(costs)
+        assert costs[-1] < 0.2 * costs[0], \
+            f"PGO failed to reduce residual: {costs[0]} -> {costs[-1]}"

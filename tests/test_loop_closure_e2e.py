@@ -59,6 +59,16 @@ class TestLoopClosure:
         assert tracked >= N - 10, f"tracking broke: {tracked}/{N}"
         # the background GBA launched by CorrectLoop completed and applied
         assert slam.global_ba.n_applied >= 1, "background GBA never applied"
+        # group-wide SearchAndFuse merged duplicate landmarks across the
+        # corrected covisible group (src/LoopClosing.cpp:744-789) ...
+        assert slam.loop_closer.n_loop_fused > 0, \
+            "SearchAndFuse merged nothing across the corrected group"
+        # ... and the essential-graph optimization consumed at least one
+        # NEW cross-loop link beyond the (kf, kc) edge itself
+        # (LoopConnections, src/LoopClosing.cpp:684-711)
+        pgo = slam.loop_closer.last_pgo_edges
+        assert pgo.get("n_loop_conn", 0) >= 1, \
+            f"PGO consumed no post-fuse loop connections: {pgo}"
 
         ate = measure_ate()
         assert np.isfinite(ate)

@@ -29,7 +29,7 @@ class TestVocabulary:
         rng = np.random.default_rng(2)
         d = rand_desc(rng, 256)
         host = V.assign_words_numpy(voc, d)
-        dev, dvalid = BOW.assign_words(
+        dev, dvalid, _ = BOW.assign_words(
             jnp.asarray(voc.node_desc), jnp.asarray(voc.node_children),
             jnp.asarray(voc.node_word), jnp.asarray(d),
             jnp.ones(256, bool), voc.levels)
@@ -46,7 +46,7 @@ class TestVocabulary:
         far = rand_desc(rng, 500)
 
         def vec(d):
-            w, wv = BOW.assign_words(
+            w, wv, _ = BOW.assign_words(
                 jnp.asarray(voc.node_desc), jnp.asarray(voc.node_children),
                 jnp.asarray(voc.node_word), jnp.asarray(d),
                 jnp.ones(len(d), bool), voc.levels)
@@ -136,7 +136,7 @@ class TestOrbvocTextParser:
         import jax.numpy as jnp
         from orbslam2_tpu.ops import bow as BOW
         d = rand_desc(np.random.default_rng(1), 32)
-        words, wvalid = BOW.assign_words(
+        words, wvalid, _ = BOW.assign_words(
             jnp.asarray(voc.node_desc), jnp.asarray(voc.node_children),
             jnp.asarray(voc.node_word), jnp.asarray(d), jnp.ones(32, bool),
             voc.levels)
@@ -249,3 +249,82 @@ class TestSparseDatabaseScale:
             expect = 1.0 - 0.5 * np.abs(qdense - v).sum()
             np.testing.assert_allclose(scores[k], expect, atol=1e-6)
             assert common[k] == ((v > 0) & (qdense > 0)).sum()
+
+
+class TestNodeGatedSearchByBoW:
+    """FeatureVector node gating (src/ORBmatcher.cpp:243-299): only
+    descriptors under the same depth-2 vocabulary node are compared."""
+
+    def test_gate_blocks_cross_node_pairs(self):
+        import jax.numpy as jnp
+        from orbslam2_tpu.frontend import matcher as FM
+
+        rng = np.random.default_rng(5)
+        A = B = 64
+        desc_a = rng.integers(0, 2 ** 32, (A, 8), dtype=np.uint32)
+        desc_b = desc_a.copy()  # exact matches everywhere
+        angle = np.zeros(A, np.float32)
+        valid = np.ones(A, bool)
+        node_a = (np.arange(A) % 7).astype(np.int32)
+        node_same = node_a.copy()
+        node_diff = ((np.arange(A) + 1) % 7).astype(np.int32)
+
+        res_same = FM.match_by_bow(
+            jnp.asarray(desc_a), jnp.asarray(valid), jnp.asarray(angle),
+            jnp.asarray(node_a),
+            jnp.asarray(desc_b), jnp.asarray(valid), jnp.asarray(angle),
+            jnp.asarray(node_same))
+        idx = np.asarray(res_same.idx)
+        assert (idx == np.arange(A)).all(), "same-node exact matches kept"
+
+        res_diff = FM.match_by_bow(
+            jnp.asarray(desc_a), jnp.asarray(valid), jnp.asarray(angle),
+            jnp.asarray(node_a),
+            jnp.asarray(desc_b), jnp.asarray(valid), jnp.asarray(angle),
+            jnp.asarray(node_diff))
+        assert (np.asarray(res_diff.idx) == -1).all(), \
+            "cross-node pairs must be gated out even for identical descriptors"
+
+    def test_unassigned_node_never_matches(self):
+        import jax.numpy as jnp
+        from orbslam2_tpu.frontend import matcher as FM
+
+        rng = np.random.default_rng(6)
+        desc = rng.integers(0, 2 ** 32, (16, 8), dtype=np.uint32)
+        angle = np.zeros(16, np.float32)
+        valid = np.ones(16, bool)
+        none = np.full(16, -1, np.int32)
+        res = FM.match_by_bow(
+            jnp.asarray(desc), jnp.asarray(valid), jnp.asarray(angle),
+            jnp.asarray(none),
+            jnp.asarray(desc), jnp.asarray(valid), jnp.asarray(angle),
+            jnp.asarray(none))
+        assert (np.asarray(res.idx) == -1).all()
+
+    def test_gate_consistent_with_vocabulary_descent(self):
+        """Descriptors assigned by the real vocabulary: the gate node from
+        assign_words groups BoW-matchable descriptors (identical
+        descriptors descend to identical nodes)."""
+        import jax.numpy as jnp
+        from orbslam2_tpu.ops import bow as BOW
+        from orbslam2_tpu.io.vocabulary import Vocabulary
+        from orbslam2_tpu.system import DEFAULT_VOCAB
+
+        voc = Vocabulary.load(DEFAULT_VOCAB)
+        rng = np.random.default_rng(7)
+        desc = rng.integers(0, 2 ** 32, (32, 8), dtype=np.uint32)
+        valid = np.ones(32, bool)
+        w1, v1, n1 = BOW.assign_words(
+            jnp.asarray(voc.node_desc), jnp.asarray(voc.node_children),
+            jnp.asarray(voc.node_word), jnp.asarray(desc),
+            jnp.asarray(valid), voc.levels)
+        n1 = np.asarray(n1)
+        assert (n1 >= 0).all()
+        # depth-2 node count bound: < k^2 + k + 1 ids (tree prefix)
+        assert len(np.unique(n1)) <= 32
+        # identical descriptors -> identical gate nodes
+        w2, v2, n2 = BOW.assign_words(
+            jnp.asarray(voc.node_desc), jnp.asarray(voc.node_children),
+            jnp.asarray(voc.node_word), jnp.asarray(desc[::-1].copy()),
+            jnp.asarray(valid), voc.levels)
+        assert (np.asarray(n2)[::-1] == n1).all()
