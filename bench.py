@@ -34,7 +34,7 @@ import time
 import numpy as np
 
 
-def _full_system(sensor_name: str = "mono", n_frames: int = 60):
+def _full_system(sensor_name: str = "mono", n_frames: int = 120):
     from dataclasses import replace
     from orbslam2_tpu.config import SlamConfig, Sensor, with_camera
     from orbslam2_tpu.io import synth

@@ -87,7 +87,13 @@ def map_new_points(T1, xy1, oct1, desc1, free1, patch1,
 
     _, (idx, X, ok, delta, okr) = jax.lax.scan(
         step, free1, (Tn, xy2_0, oct2, desc2, free2, patch2, k_valid))
-    return idx, X, ok, delta, okr
+    # pack into TWO readback leaves (each fetched leaf costs a round trip
+    # on relay runtimes): ints [K,N,2] = (idx, ok|okr<<1); floats [K,N,5]
+    # = (X, delta)
+    ints = jnp.stack([idx, ok.astype(jnp.int32)
+                      + 2 * okr.astype(jnp.int32)], axis=-1)
+    flts = jnp.concatenate([X, delta], axis=-1)
+    return ints, flts
 
 
 @functools.partial(

@@ -159,7 +159,7 @@ class LocalMapper:
         mp = self.map
         if len(feats) == 0:
             return
-        Mb = 512
+        Mb = 2048
         sf = self.sf
         for s in range(0, len(feats), Mb):
             f = feats[s:s + Mb]
@@ -193,7 +193,7 @@ class LocalMapper:
         mp = self.map
         if len(feats) == 0:
             return
-        Mb = 512
+        Mb = 2048
         sf = self.sf
         for s in range(0, len(feats), Mb):
             k = kfs[s:s + Mb]
@@ -348,7 +348,12 @@ class LocalMapper:
         if dispatched is None:
             return
         neighbors, k_valid, out = dispatched
-        idx, X, ok, delta, okr = fetch(*out)  # one batched readback
+        ints, flts = fetch(*out)  # one batched two-leaf readback
+        idx = ints[..., 0]
+        ok = ints[..., 1] % 2 != 0
+        okr = ints[..., 1] // 2 != 0
+        X = flts[..., 0:3]
+        delta = flts[..., 3:5]
         with mp.lock:
             self._create_new_points_apply(kf, neighbors, k_valid,
                                           idx, X, ok, delta, okr)
@@ -412,6 +417,7 @@ class LocalMapper:
                                  idx, X, ok, delta, okr):
         mp = self.map
         anchor_tpl_full = None
+        all_new: list = []
         for j in range(len(neighbors)):
             if not k_valid[j]:
                 continue
@@ -451,7 +457,12 @@ class LocalMapper:
             mp.kf_pt[kn, i2o] = pt_ids
             for p in pt_ids:
                 self.recent[int(p)] = (self.kf_counter, kf)
-            mp.refresh_point_stats(pt_ids)
+            all_new.append(pt_ids)
+        if all_new:
+            # one batched stat refresh for ALL neighbors' new points (the
+            # per-neighbor refresh re-derived stats of earlier neighbors'
+            # points repeatedly — pure host cost, measured ~x5 overcount)
+            mp.refresh_point_stats(np.concatenate(all_new))
 
     # -------------------------------------------------------------------- fuse
     def fuse_neighbors(self, kf: int):

@@ -92,7 +92,14 @@ class MapState:
         self.next_pt_id: int = 0
         self._pt_free: list[int] = []
         self._pt_pending: list[int] = []
-        self._pt_pending2: list[int] = []
+        # quarantine pipeline: stage i holds slots retired i release-calls
+        # ago; a slot becomes allocatable only after PT_QUARANTINE_DEPTH
+        # calls. Depth 16 (release is called once per tracked frame) covers
+        # the block driver's in-flight device chain — one 6-frame block
+        # dispatched on top of another still carries point ids from up to
+        # ~2 blocks back, far deeper than the old 2-stage scheme built for
+        # the depth-1 per-frame pipeline.
+        self._pt_stages: list[list[int]] = []
         self.pt_redirect = np.full(self.pt_xyz.shape[0], -1, np.int32)
         # point-geometry generation counter: bumped whenever pt_xyz/pt_desc/
         # pt_normal/pt_patch/dist bands/pt_valid change, so the tracker's
@@ -240,16 +247,19 @@ class MapState:
             self.next_pt_id += fresh
         return np.asarray(out, np.int64)
 
+    PT_QUARANTINE_DEPTH = 16
+
     def release_retired_points(self):
-        """Advance the quarantine one stage: slots retired before the
-        PREVIOUS call become allocatable; freshly retired slots wait one
-        more call. Two stages so the pipelined tracker's in-flight device
-        binding chain (depth 1 — one frame dispatched before the previous
-        frame's ids are scrubbed) can never see a recycled slot. The sync
-        path just releases one frame later than before (harmless)."""
-        ready = self._pt_pending2
-        self._pt_pending2 = self._pt_pending
+        """Advance the quarantine one stage: slots retired
+        PT_QUARANTINE_DEPTH calls ago become allocatable. The depth covers
+        every id still referenced by an in-flight device binding chain
+        (block driver: up to ~2 six-frame blocks), so a recycled slot can
+        never be observed under its old identity."""
+        self._pt_stages.append(self._pt_pending)
         self._pt_pending = []
+        if len(self._pt_stages) <= self.PT_QUARANTINE_DEPTH:
+            return
+        ready = self._pt_stages.pop(0)
         if not ready:
             return
         self.pt_redirect[ready] = -1
@@ -317,7 +327,10 @@ class MapState:
         self.kf_angle[k] = angle
         self.kf_desc[k] = desc
         self.kf_feat_valid[k] = feat_valid
-        self.kf_pt[k] = np.where(feat_valid, pt_idx, -1)
+        # invariant at the source: a keyframe never observes a dead slot
+        # (bindings may have been snapshotted before a concurrent cull)
+        live = (pt_idx >= 0) & self.pt_valid[np.clip(pt_idx, 0, None)]
+        self.kf_pt[k] = np.where(feat_valid & live, pt_idx, -1)
         if depth is not None:
             self.kf_depth[k] = depth
         if ur is not None:

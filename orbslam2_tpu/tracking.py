@@ -737,6 +737,11 @@ class Tracker:
         ).astype(np.int32)
         tmp_kp = is_mm & (pt_from_mm < 0)
         frame.pt_idx[tmp_kp] = -1
+        # the ids were snapshotted BEFORE the device dispatch; the async
+        # mapper may have culled/replaced points while the device worked —
+        # re-resolve under this lock so keyframe creation can never bind a
+        # dead slot (observed as a dangling kf_pt binding under load)
+        frame.pt_idx = mp.resolve_point_ids(frame.pt_idx)
         frame.tmp_valid = tmp_kp
         if tmp_kp.any():
             rows = src[tmp_kp]

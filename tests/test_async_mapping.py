@@ -70,7 +70,7 @@ class TestAsyncMapping:
                             ref_kf=0, first_kf=0)
         n = mp.n_feat
         pt_idx = np.full(n, -1, np.int32)
-        pt_idx[:512] = ids
+        pt_idx[:min(n, len(ids))] = ids[:min(n, len(ids))]
         mp.add_keyframe(np.eye(3, 4, dtype=np.float32), 0.0, 0,
                         np.zeros((n, 2), np.float32), np.zeros(n, np.int32),
                         np.zeros(n, np.float32), np.zeros((n, 8), np.uint32),
