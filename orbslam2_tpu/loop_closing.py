@@ -104,7 +104,10 @@ class LoopCloser:
         cam = self.cfg.camera
         fix_scale = self.cfg.sensor != Sensor.MONOCULAR
         for kc in candidates[:5]:
-            if not mp.kf_valid[kc]:
+            # a loop partner must be a DIFFERENT, live keyframe (guard:
+            # a self- or neighbor-candidate would "correct" the map onto
+            # itself — see keyframe_db.detect_loop_candidates)
+            if kc == kf or not mp.kf_valid[kc]:
                 continue
             # match features that carry map points in both keyframes (:327)
             # via node-gated SearchByBoW (both keyframes carry FeatureVector

@@ -129,13 +129,21 @@ class KeyFrameDatabase:
         if len(cand) == 0:
             return cand
         # accumulate score over each candidate's top-10 covisible group
+        # (src/KeyFrameDatabase.cpp:177-218). The group-best is restricted
+        # to ACTIVE members: a candidate's covisibility group can contain
+        # the query keyframe or its neighbors, and picking those as the
+        # returned "best" produced SELF-loop closures (kf == kc) that
+        # mass-merged the map onto itself.
         acc, best_of_group = [], []
         for c in cand:
             group = [int(c)] + [int(x) for x in mp.covisible_kfs(int(c), 10)]
             g_scores = [scores[g] for g in group
                         if active[g] and common[g] >= min_common] + [scores[c]]
             acc.append(float(np.sum(g_scores)))
-            best_of_group.append(int(group[int(np.argmax([scores[g] for g in group]))]))
+            g_act = [g for g in group if active[g]]
+            best_of_group.append(
+                int(g_act[int(np.argmax([scores[g] for g in g_act]))])
+                if g_act else int(c))
         acc = np.array(acc)
         keep = acc > 0.75 * acc.max()
         out = sorted(set(np.array(best_of_group)[keep].tolist()))
