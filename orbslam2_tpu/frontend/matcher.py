@@ -9,10 +9,13 @@ pointer-chasing search loops into dense masked kernels:
   with ORBmatcher::SearchByProjection(F, vpMapPoints, th)
   (src/ORBmatcher.cpp:63-219) — frustum test, view-cos radius, predicted
   scale, masked Hamming argmin
-- `match_descriptors_ratio` <- ORBmatcher::SearchByBoW(KF, F)
-  (src/ORBmatcher.cpp:220-369) without the vocabulary-node gating (the BoW
-  gate is a speed trick for CPUs; the dense masked matrix is one fused
-  kernel on TPU). Ratio 0.7 + rotation consistency as in the reference.
+- `match_by_bow` <- ORBmatcher::SearchByBoW(KF, F)
+  (src/ORBmatcher.cpp:220-369) WITH the reference's FeatureVector node
+  gate (depth-2 vocabulary nodes, stored per keyframe at registration) —
+  used for loop pairing and relocalization. `match_descriptors_ratio` is
+  the ungated form for callers without node ids (mono init reference
+  matching, tracker reference-KF fallback, cross-map alignment).
+  Ratio 0.7 + rotation consistency as in the reference.
 """
 from __future__ import annotations
 

@@ -781,7 +781,8 @@ class Tracker:
         return self._finish_frame(frame, ok)
 
     # ----------------------------------------------------------- block driver
-    def run_blocked(self, frames, to_gray, block: int = 6):
+    def run_blocked(self, frames, to_gray, block: int = 6,
+                    pipeline_depth: int = 2):
         """K-frames-per-dispatch, depth-1 pipelined driver
         (engine_step.track_frames_block): the throughput mode for
         remote-attached TPU runtimes.
@@ -804,7 +805,7 @@ class Tracker:
         (ts, pose|None) in order."""
         import time as _time
         buf: list = []
-        inflight: dict | None = None
+        inflight: list = []  # dispatched-not-finished blocks, oldest first
         # per-yield amortized frame time (a block's wall cost divided over
         # its frames) — System.run_sequence reads this for honest per-frame
         # metrics (the raw yield-to-yield gap assigns a whole block to its
@@ -812,22 +813,27 @@ class Tracker:
         self.last_frame_ms = 0.0
 
         def sync_one(item):
-            ts, gray, depth, right = item
+            ts, gray, depth_map, right = item
             t0 = _time.perf_counter()
-            pose = self.process_image(gray, ts, depth_map=depth,
+            pose = self.process_image(gray, ts, depth_map=depth_map,
                                       right_img=right)
             self.last_frame_ms = (_time.perf_counter() - t0) * 1e3
             self._blk_chain = None
             return ts, pose
 
-        def drain_inflight():
-            """Finish the in-flight block; on a chain break, discard any
-            block dispatched on top of it (none can be: depth is 1)."""
+        def finish_oldest():
+            """Finish the oldest in-flight block; on a chain break,
+            discard every block dispatched on top of it (their device
+            carries consumed garbage) and re-track their frames sync."""
             nonlocal inflight
-            if inflight is None:
-                return
-            ctx, inflight = inflight, None
-            yield from self._blk_finish(ctx)
+            ctx = inflight.pop(0)
+            ok = yield from self._blk_finish(ctx)
+            if not ok:
+                bad, inflight = inflight, []
+                self._blk_chain = None
+                for ctx2 in bad:
+                    for item in ctx2["chunk"]:
+                        yield sync_one(item)
 
         def flush(full_only=False):
             nonlocal buf, inflight
@@ -841,31 +847,24 @@ class Tracker:
                     chunk, buf = buf[:block], buf[block:]
                     ctx = self._blk_dispatch(chunk)
                     if ctx is None:  # no local points: sync the chunk
-                        yield from drain_inflight()
+                        while inflight:
+                            yield from finish_oldest()
                         self._blk_chain = None
                         for item in chunk:
                             yield sync_one(item)
                         continue
-                    prev, inflight = inflight, ctx
-                    if prev is not None:
-                        ok = yield from self._blk_finish(prev)
-                        if not ok:
-                            # the finished block broke the chain: the block
-                            # we just dispatched consumed a garbage carry
-                            bad, inflight = inflight, None
-                            self._blk_chain = None
-                            for item in bad["chunk"]:
-                                yield sync_one(item)
+                    inflight.append(ctx)
+                    if len(inflight) > pipeline_depth:
+                        yield from finish_oldest()
                     continue
                 # a sync frame must run next only when frames are waiting
                 # and blocks cannot absorb them (not-OK state, tail flush);
-                # otherwise leave the in-flight block IN FLIGHT and return
+                # otherwise leave the in-flight blocks IN FLIGHT and return
                 # for more input — that in-flight overlap is the pipeline.
                 need_sync = bool(buf) and not (full_only and can)
-                if need_sync or (not full_only and inflight is not None):
-                    if inflight is not None:
-                        yield from drain_inflight()
-                        continue  # state may have changed: re-evaluate
+                if (need_sync or not full_only) and inflight:
+                    yield from finish_oldest()
+                    continue  # state may have changed: re-evaluate
                 if need_sync:
                     item, buf = buf[0], buf[1:]
                     yield sync_one(item)
@@ -1063,7 +1062,17 @@ class Tracker:
         outs, k = lazy
         frame._lazy = None
         from .utils import fetch
-        fmat, imat, desc = fetch(outs.fmat[k], outs.imat[k], outs.desc[k])
+        if getattr(frame, "_patch_dev", None) is not None:
+            # one combined round trip: the callers that materialize
+            # features (keyframe creation, fallbacks) need the photometric
+            # windows immediately after — fetching them separately cost an
+            # extra ~60 ms relay round trip per keyframe
+            fmat, imat, desc, patch = fetch(
+                outs.fmat[k], outs.imat[k], outs.desc[k], outs.patch[k])
+            frame.patch = patch.astype(np.float32)
+            frame._patch_dev = None
+        else:
+            fmat, imat, desc = fetch(outs.fmat[k], outs.imat[k], outs.desc[k])
         frame.xy = fmat[:, 0:2].copy()
         frame.xy_raw = fmat[:, 2:4].copy()
         frame.xy0 = fmat[:, 4:6].copy()
@@ -1111,10 +1120,18 @@ class Tracker:
             if len(local_kfs) >= 80:  # cap (src/Tracking.cpp:1730)
                 break
         local_kfs = local_kfs[:80]
-        lp = np.unique(mp.kf_pt[local_kfs])
+        # point set ordered by keyframe covisibility rank: when the slice
+        # exceeds the device cap, the points of the STRONGEST local
+        # keyframes survive (the r3 code truncated an id-sorted array —
+        # an arbitrary prefix; the reference bounds by KF count only)
+        rows = mp.kf_pt[local_kfs].ravel()
+        first = np.unique(rows, return_index=True)[1]
+        lp = rows[np.sort(first)]
         lp = lp[(lp >= 0) & mp.pt_valid[np.clip(lp, 0, None)]]
         cap = self.cfg.local_points_cap
         if len(lp) > cap:
+            from .utils.metrics import log_event
+            log_event("local_points_truncated", total=int(len(lp)), cap=cap)
             lp = lp[:cap]
         pad = cap - len(lp)
         lp_pad = np.concatenate([lp, np.zeros(pad, lp.dtype)]).astype(np.int32)
