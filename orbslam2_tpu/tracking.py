@@ -944,9 +944,26 @@ class Tracker:
                   f"{1e3*(t_mirror-t_locked):.0f} lp {1e3*(t_lp-t_mirror):.0f} "
                   f"upload {1e3*(t_up-t_lp):.0f} dispatch "
                   f"{1e3*(t_disp-t_up):.0f} ms]", flush=True)
-        return dict(outs=outs, packed=packed, chunk=chunk, lp_pad=lp_pad,
-                    pvalid=pvalid, best_kf=best_kf,
-                    t_dispatch=_time.perf_counter())
+        ctx = dict(outs=outs, packed=packed, chunk=chunk, lp_pad=lp_pad,
+                   pvalid=pvalid, best_kf=best_kf,
+                   t_dispatch=_time.perf_counter(), packed_np=None)
+        # prefetch the packed readback on a background thread: the
+        # device->host request itself costs a full relay round trip even
+        # when the result is long computed, so issuing it from the
+        # tracking thread put ~1 RTT (~60-80 ms under load) on every
+        # block's critical path; the thread absorbs the wait (np.asarray
+        # releases the GIL) and _blk_finish just joins it.
+        import threading
+
+        def _prefetch():
+            try:
+                ctx["packed_np"] = np.asarray(packed)
+            except Exception:
+                ctx["packed_np"] = None
+        th = threading.Thread(target=_prefetch, daemon=True)
+        th.start()
+        ctx["prefetch"] = th
+        return ctx
 
     def _blk_finish(self, ctx):
         """Read back one dispatched block (single packed leaf) and run the
@@ -964,7 +981,12 @@ class Tracker:
         lp_pad, pvalid, best_kf = ctx["lp_pad"], ctx["pvalid"], ctx["best_kf"]
         K = len(chunk)
         N = outs.kp_pt.shape[1]
-        pk = np.asarray(ctx["packed"])  # ONE leaf: blocks on the block
+        pf = ctx.get("prefetch")
+        if pf is not None:
+            pf.join()
+        pk = ctx["packed_np"]
+        if pk is None:  # prefetch failed: fall back to a direct fetch
+            pk = np.asarray(ctx["packed"])
         if timing:
             print(f"  [blk-fetch: {1e3*(_time.perf_counter()-t0):.0f} ms]",
                   flush=True)
