@@ -52,7 +52,10 @@ class TestRunDatasetCLI:
         assert rc == 0
         traj = np.loadtxt(out / "CameraTrajectory.txt")
         assert traj.shape[1] == 8 and len(traj) >= N - 4
-        kf = np.loadtxt(out / "KeyFrameTrajectory.txt")
-        assert kf.ndim == 2 and kf.shape[1] == 8
+        # a gentle orbit with dense depth legitimately keeps few keyframes
+        # under the reference's exact NeedNewKeyFrame rules (one init KF can
+        # be enough); loadtxt squeezes a single row to 1-D
+        kf = np.atleast_2d(np.loadtxt(out / "KeyFrameTrajectory.txt"))
+        assert kf.shape[0] >= 1 and kf.shape[1] == 8
         # trajectory moves in +x like the ground truth
         assert traj[-1, 1] > traj[0, 1] + 0.1
