@@ -218,7 +218,10 @@ def main():
         "vs_baseline": (round(REF_MEDIAN_MS / full["median_ms"], 3)
                         if tracking_ok else 0.0),
     }
-    print(json.dumps(result))
+    # flush immediately: stdout is block-buffered under a pipe and the
+    # headline JSON must survive even if a driver timeout kills the
+    # process during the auxiliary rows below
+    print(json.dumps(result), flush=True)
     print(f"# FULL SYSTEM: median {full['median_ms']:.1f} ms/frame "
           f"(mean {full['mean_ms']:.1f}), tracked {full['tracked']}/"
           f"{full['n_trackable']} post-init ({full['n_init']} mono-init "
@@ -226,7 +229,7 @@ def main():
           f"ATE {full['ate_m']*100:.2f} cm, wall {full['wall_s']:.1f} s, "
           f"device {jax.devices()[0].platform}; vs_baseline = "
           f"{REF_MEDIAN_MS} ms (measured reference median) / ours",
-          file=sys.stderr)
+          file=sys.stderr, flush=True)
     # multi-sensor rows (the reference's primary published results are
     # stereo/RGB-D — BASELINE.md): full-System medians on the same room
     for sensor_name in ("rgbd", "stereo"):
