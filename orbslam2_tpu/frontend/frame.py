@@ -88,7 +88,9 @@ class FrameBuilder:
         frame's extraction under the current frame's host work
         (System.run_sequence)."""
         h, w = img.shape
-        feats = F.extract_orb(jnp.asarray(img, jnp.float32), self.orb, h, w)
+        # native dtype on the wire (u8 images are 4x cheaper to ship on
+        # remote-attached runtimes); extract_orb casts to f32 on device
+        feats = F.extract_orb(jnp.asarray(img), self.orb, h, w)
         return (feats, img, depth_map, right_img)
 
     def finalize(self, handle, timestamp: float) -> Frame:
@@ -133,7 +135,10 @@ class FrameBuilder:
             #    exactly what pose optimization then locks onto (observed
             #    as a geometric tracking runaway; the chi2 gate cannot
             #    reject a structurally-consistent outlier population).
-            dm = depth_map * self.cfg.depth_map_factor
+            # depth arrives in raw sensor units (u16 from the loaders or
+            # float); scale to meters in f32
+            dm = (np.asarray(depth_map, np.float32)
+                  * np.float32(self.cfg.depth_map_factor))
             x = np.clip(xy_raw[:, 0], 0, w - 1.001)
             y = np.clip(xy_raw[:, 1], 0, h - 1.001)
             x0 = x.astype(int)

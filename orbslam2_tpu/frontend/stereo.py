@@ -21,7 +21,8 @@ def stereo_depths_for_frame(cfg: SlamConfig, feats_left, right_img: np.ndarray):
     feats_left: FrameFeatures of the left image (device arrays).
     """
     h, w = right_img.shape
-    right = jnp.asarray(right_img, jnp.float32)
+    # native dtype on the wire; extract_orb casts on device
+    right = jnp.asarray(right_img)
     feats_r = F.extract_orb(right, cfg.orb, h, w)
     cam = cfg.camera
     ur, depth = S.stereo_match(
@@ -37,7 +38,7 @@ def stereo_depths_refined(cfg: SlamConfig, feats_left, left_img, right_img):
     ur, depth, right = stereo_depths_for_frame(cfg, feats_left, right_img)
     cam = cfg.camera
     ur2, depth2 = S.refine_disparity(
-        jnp.asarray(left_img, jnp.float32), right,
+        jnp.asarray(left_img, jnp.float32), right.astype(jnp.float32),
         feats_left.xy, feats_left.octave, ur, depth,
         cfg.orb.n_levels, cfg.orb.scale_factor, cam.height, cam.width, cam.bf)
     return np.asarray(ur2), np.asarray(depth2)

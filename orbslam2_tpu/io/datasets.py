@@ -22,7 +22,9 @@ def _imread_gray(path) -> np.ndarray:
     img = cv2.imread(str(path), cv2.IMREAD_GRAYSCALE)
     if img is None:
         raise FileNotFoundError(path)
-    return img.astype(np.float32)
+    # native u8: System._gray passes it through and the tracker ships it
+    # over the wire as-is (4x cheaper than f32 on remote-attached runtimes)
+    return img
 
 
 def _imread_depth(path, factor: float) -> np.ndarray:
@@ -30,6 +32,11 @@ def _imread_depth(path, factor: float) -> np.ndarray:
     d = cv2.imread(str(path), cv2.IMREAD_UNCHANGED)
     if d is None:
         raise FileNotFoundError(path)
+    if factor == 1.0 and d.dtype == np.uint16:
+        # raw sensor units, native u16 (TUM depth PNGs): the tracker ships
+        # these over the wire unconverted and the device program applies
+        # cfg.depth_map_factor (tracking._depth_wire)
+        return d
     return d.astype(np.float32) * factor
 
 

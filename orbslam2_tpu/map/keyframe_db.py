@@ -170,5 +170,8 @@ class KeyFrameDatabase:
             acc.append(float(np.sum([scores[g] for g in group if active[g]])))
         acc = np.array(acc)
         keep = acc > 0.75 * acc.max()
-        order = cand[keep][np.argsort(-scores[cand[keep]])]
-        return order[:5]
+        # every candidate above the 0.75*best group-score cut, best first
+        # (the reference returns the full set and Tracking iterates all of
+        # them, src/KeyFrameDatabase.cpp:244-369; a fixed top-k cap could
+        # drop the true pose on a large map with perceptual aliasing)
+        return cand[keep][np.argsort(-scores[cand[keep]])]

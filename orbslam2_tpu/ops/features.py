@@ -369,6 +369,9 @@ def extract_orb(img, params: OrbParams, height: int, width: int) -> FrameFeature
     ~8x slower). Per-level work that must stay separate (budgeted top-k) is
     a small unrolled loop over response slices.
     """
+    # accept any integer/float dtype: callers upload the cheapest wire form
+    # (u8 over remote-attached runtimes) and all compute is f32
+    img = img.astype(jnp.float32)
     L = params.n_levels
     sizes = level_sizes(height, width, L, params.scale_factor)
     budgets = features_per_level(params.n_features, L, params.scale_factor)

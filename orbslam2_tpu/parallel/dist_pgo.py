@@ -61,13 +61,14 @@ def shard_pgo(mesh, svals, R, t, fixed, e_i, e_j, meas_s, meas_R, meas_t,
 
 def dist_pose_graph(mesh, svals, R, t, fixed, e_i, e_j,
                     meas_s, meas_R, meas_t, e_valid,
-                    iters: int = 20, axis: str = "data"):
+                    iters: int = 20, cg_iters: int = 32,
+                    axis: str = "data"):
     """optimize_pose_graph with the edge set sharded over the mesh.
     Single-device meshes work too (the annotations become no-ops)."""
     args = shard_pgo(mesh, svals, R, t, fixed, e_i, e_j,
                      meas_s, meas_R, meas_t, e_valid, axis)
     with _mesh_ctx(mesh):
-        return PG.optimize_pose_graph(*args, iters=iters)
+        return PG.optimize_pose_graph(*args, iters=iters, cg_iters=cg_iters)
 
 
 def lowered_collectives_pgo(mesh, svals, R, t, fixed, e_i, e_j,

@@ -4,8 +4,9 @@ TPU-native redesign of Tracking::Relocalization (src/Tracking.cpp:1800-2028):
 BoW candidates from the keyframe database -> per-candidate descriptor
 matching -> batched PnP RANSAC -> LM pose refinement -> projective rescue.
 The reference alternates per-candidate CPU loops; here each candidate costs
-two device dispatches and candidates are capped at 5 (as the reference's
-database returns).
+two device dispatches. ALL database candidates above the 0.75*best cut are
+tried, best-score first (src/Tracking.cpp:1814-1828 iterates the full set;
+the loop exits on the first candidate that reaches the 50-inlier gate).
 """
 from __future__ import annotations
 
@@ -64,7 +65,7 @@ class Relocalizer:
             return False
         mp = self.map
         cam = self.cfg.camera
-        for k in candidates[:5]:
+        for k in candidates:
             k = int(k)
             has_pt = mp.kf_pt[k] >= 0
             res = FM.match_by_bow(

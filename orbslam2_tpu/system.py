@@ -270,10 +270,13 @@ class System:
         if img.ndim == 3:
             img = img @ np.array([0.299, 0.587, 0.114], np.float32)
         if img.dtype == np.uint8:
-            # keep u8: the device programs cast after upload, and shipping
-            # u8 is 4x cheaper on remote-attached TPU runtimes
             return img
-        return img.astype(np.float32)
+        # canonicalize to u8: shipping u8 is 4x cheaper on remote-attached
+        # TPU runtimes AND keeps the hot block program at ONE traced
+        # variant regardless of data source (a float-gray dataset would
+        # otherwise trace a second ~30 s program; sensor images are 8-bit
+        # to begin with, matching the reference's cv::Mat CV_8U input)
+        return np.clip(np.round(img), 0, 255).astype(np.uint8)
 
     # ------------------------------------------------------------------ state
     def activate_localization_mode(self):

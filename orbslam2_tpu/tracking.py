@@ -50,6 +50,32 @@ def _np(x):
     return np.asarray(x)
 
 
+DEPTH_WIRE_Q = 2048.0  # wire quantization for float depth (power of two:
+#                        exact f32 rescale; 0.49 mm resolution, 32 m range)
+
+
+def _depth_wire(depth_map: np.ndarray, cfg_factor: float):
+    """Depth map in its cheapest lossless wire form: (u16 array, device
+    scale-to-meters). The tunnel is RTT/bandwidth bound and a float32 depth
+    frame is 1.2 MB at 480x640 — 4x the u8 image round 4 shrank — so depth
+    ships as uint16 in native sensor units where possible (TUM depth PNGs
+    ARE u16; src/Frame.cpp:773 ComputeStereoFromRGBD consumes
+    raw/DepthMapFactor) and as 1/2048-m fixed point otherwise. The device
+    program multiplies by the returned factor (engine_step._frame_core)."""
+    if depth_map.dtype == np.uint16:
+        return depth_map, float(cfg_factor)
+    if cfg_factor < 1.0 / 1024.0:
+        # float carrying raw u16 sensor units (dataset loaders decode the
+        # PNG then cast): the round trip through u16 is exact
+        return np.round(depth_map).astype(np.uint16), float(cfg_factor)
+    m = np.asarray(depth_map, np.float32) * np.float32(cfg_factor)
+    q = m * np.float32(DEPTH_WIRE_Q)
+    # out-of-range depth (>=32 m) becomes 0 = "no depth" rather than a
+    # wrong clipped value; the reference treats d<=0 as no-measurement
+    q = np.where((q >= 65535.0) | (q < 0.0), 0.0, q)
+    return q.astype(np.uint16), 1.0 / DEPTH_WIRE_Q
+
+
 def _ensure_patch(frame: Frame):
     """Materialize a fused frame's photometric windows from the device
     (deferred: they are ~1 MB/frame and only needed for fallback matching,
@@ -506,17 +532,32 @@ class Tracker:
         return n_inl >= 10
 
     def _track_reference_keyframe(self, frame: Frame) -> bool:
-        """TrackReferenceKeyFrame (src/Tracking.cpp:1007-1063)."""
+        """TrackReferenceKeyFrame (src/Tracking.cpp:1007-1063).
+
+        Matching is node-gated SearchByBoW when the vocabulary is available
+        (the reference always gates by FeatureVector node,
+        src/ORBmatcher.cpp:243-299 — the gate is faster AND rejects
+        perceptually-aliased matches that the global ratio test admits);
+        the ungated ratio match remains as the no-vocabulary fallback."""
         if self.ref_kf < 0:
             return False
         mp = self.map
         k = self.ref_kf
         has_pt = mp.kf_pt[k] >= 0
-        res = FM.match_descriptors_ratio(
-            jnp.asarray(mp.kf_desc[k]), jnp.asarray(has_pt),
-            jnp.asarray(mp.kf_angle[k]),
-            jnp.asarray(frame.desc), jnp.asarray(frame.valid),
-            jnp.asarray(frame.angle))
+        kf_nodes = mp.kf_bow_node[k]
+        if self.relocalizer is not None and (kf_nodes >= 0).any():
+            _, qnodes = self.relocalizer.frame_bow(frame.desc, frame.valid)
+            res = FM.match_by_bow(
+                jnp.asarray(mp.kf_desc[k]), jnp.asarray(has_pt),
+                jnp.asarray(mp.kf_angle[k]), jnp.asarray(kf_nodes),
+                jnp.asarray(frame.desc), jnp.asarray(frame.valid),
+                jnp.asarray(frame.angle), jnp.asarray(qnodes))
+        else:
+            res = FM.match_descriptors_ratio(
+                jnp.asarray(mp.kf_desc[k]), jnp.asarray(has_pt),
+                jnp.asarray(mp.kf_angle[k]),
+                jnp.asarray(frame.desc), jnp.asarray(frame.valid),
+                jnp.asarray(frame.angle))
         midx = _np(res.idx)
         n = int((midx >= 0).sum())
         if n < 15:
@@ -631,11 +672,16 @@ class Tracker:
                               and last.frame_id != self.last_kf_frame_id)
             sensor = {Sensor.MONOCULAR: "mono", Sensor.RGBD: "rgbd",
                       Sensor.STEREO: "stereo"}[cfg.sensor]
-            img_dev = jnp.asarray(img, jnp.float32)
+            # ship images/depth in their cheapest wire form (u8 / u16): the
+            # device program casts to f32 after upload (_frame_core)
+            img_dev = jnp.asarray(img)
+            wire_factor = float(cfg.depth_map_factor)
             if sensor == "rgbd":
-                aux = jnp.asarray(depth_map, jnp.float32)
+                d16, wire_factor = _depth_wire(depth_map,
+                                               cfg.depth_map_factor)
+                aux = jnp.asarray(d16)
             elif sensor == "stereo":
-                aux = jnp.asarray(right_img, jnp.float32)
+                aux = jnp.asarray(right_img)
             else:
                 aux = img_dev
             ld = self._last_dev_arrays(last)
@@ -656,7 +702,7 @@ class Tracker:
                 self._sf_dev, self._sig2_dev,
                 params=self.builder.orb, cam=cam, sensor=sensor,
                 close_th=float(cfg.close_depth_threshold),
-                depth_factor=float(cfg.depth_map_factor),
+                depth_factor=wire_factor,
                 log_scale=float(np.log(cfg.orb.scale_factor)))
         t2 = _t()
 
@@ -918,11 +964,15 @@ class Tracker:
             sensor = {Sensor.MONOCULAR: "mono", Sensor.RGBD: "rgbd",
                       Sensor.STEREO: "stereo"}[cfg.sensor]
             # ship images in their native dtype (u8 when the source is u8:
-            # 4x less tunnel traffic; the device program casts)
+            # 4x less tunnel traffic) and depth as u16 (2x less than f32);
+            # the device program casts after upload
             imgs = jnp.asarray(np.stack([c[1] for c in chunk]))
+            wire_factor = float(cfg.depth_map_factor)
             if sensor == "rgbd":
-                auxs = jnp.asarray(np.stack([c[2] for c in chunk]),
-                                   jnp.float32)
+                wired = [_depth_wire(c[2], cfg.depth_map_factor)
+                         for c in chunk]
+                wire_factor = wired[0][1]
+                auxs = jnp.asarray(np.stack([w[0] for w in wired]))
             elif sensor == "stereo":
                 auxs = jnp.asarray(np.stack([c[3] for c in chunk]))
             else:
@@ -934,7 +984,7 @@ class Tracker:
                 self._sf_dev, self._sig2_dev,
                 params=self.builder.orb, cam=cam, sensor=sensor,
                 close_th=float(cfg.close_depth_threshold),
-                depth_factor=float(cfg.depth_map_factor),
+                depth_factor=wire_factor,
                 log_scale=float(np.log(cfg.orb.scale_factor)))
             t_disp = _time.perf_counter()
         self._blk_chain = chain2
