@@ -109,6 +109,7 @@ def _full_system(sensor_name: str = "mono", n_frames: int = 180):
             best = (med, slam, tracked, wall, recs, times)
     med, slam, tracked, wall, recs, times = best
     mean = float(times[n_warm:].mean())
+    p90 = float(np.percentile(times[n_warm:], 90))
     if repeats > 1:
         print(f"# repeat medians (ms/frame): {all_meds} -> best {med:.1f}",
               file=sys.stderr)
@@ -134,8 +135,9 @@ def _full_system(sensor_name: str = "mono", n_frames: int = 180):
                 with_scale=(sensor == Sensor.MONOCULAR)))
     except Exception:
         pass
-    return dict(median_ms=med, mean_ms=mean, tracked=tracked, n=n_frames,
-                n_trackable=n_trackable, n_init=n_init,
+    return dict(median_ms=med, mean_ms=mean, p90_ms=p90, tracked=tracked,
+                n=n_frames, n_trackable=n_trackable, n_init=n_init,
+                repeat_medians=all_meds,
                 wall_s=wall, keyframes=slam.map.n_keyframes, ate_m=ate)
 
 
@@ -217,6 +219,19 @@ def main():
         "unit": "fps",
         "vs_baseline": (round(REF_MEDIAN_MS / full["median_ms"], 3)
                         if tracking_ok else 0.0),
+        # measurement envelope (VERDICT r4 item 8): every repeat's median,
+        # plus the best run's central moments — so the recorded artifact
+        # carries the tunnel-weather variance, not just the headline.
+        # min/median/max over repeats of the MEDIAN per-frame time:
+        "envelope": {
+            "repeat_medians_ms": full["repeat_medians"],
+            "min_ms": min(full["repeat_medians"]),
+            "median_ms": round(float(np.median(full["repeat_medians"])), 1),
+            "max_ms": max(full["repeat_medians"]),
+            "best_run_mean_ms": round(full["mean_ms"], 1),
+            "best_run_p90_ms": round(full["p90_ms"], 1),
+            "ref_median_ms": REF_MEDIAN_MS,
+        },
     }
     # flush immediately: stdout is block-buffered under a pipe and the
     # headline JSON must survive even if a driver timeout kills the

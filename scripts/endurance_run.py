@@ -11,8 +11,14 @@ Usage:
     python scripts/endurance_run.py [--frames 1200] [--laps 2.5]
         [--sensor mono|rgbd|stereo] [--cpu] [--noise 2.5]
 
-Prints one JSON line with fps, ATE, and map statistics; paste into
-BASELINE.md (endurance section).
+Prints one JSON line with fps, ATE, map statistics AND a per-closure
+record (VERDICT r4 item 5): for every explicit CorrectLoop — the frame it
+fired at, the matched (kf, kc) pair, trajectory ATE immediately BEFORE and
+AFTER the correction, the essential-graph edge census the PGO consumed
+(spanning tree / covis>=100 / loop edges / LoopConnections), and the
+SearchAndFuse merge count. `--min-loops N` makes the run exit non-zero
+unless at least N closures fired (the multi-lap regression gate). Paste
+into BASELINE.md (endurance section).
 """
 import argparse
 import json
@@ -33,6 +39,8 @@ def main():
                     help="force the CPU backend (fast compiles, for CI)")
     ap.add_argument("--noise", type=float, default=2.5)
     ap.add_argument("--radius", type=float, default=8.0)
+    ap.add_argument("--min-loops", type=int, default=0,
+                    help="exit non-zero unless >= N explicit closures fired")
     args = ap.parse_args()
 
     import jax
@@ -81,6 +89,36 @@ def main():
             yield i / 30.0, data
 
     slam = System(cfg, async_mapping=True)
+
+    # --- per-closure instrumentation (reference regime: KITTI 00 closes
+    # several loops against a mature map, src/LoopClosing.cpp:512-810) ---
+    closures = []
+    orig_correct = slam.loop_closer._correct_loop
+
+    def measure_ate():
+        ts, est = slam.tracker.trajectory()
+        if len(est) < 10:
+            return None
+        fids = np.clip(np.round(np.asarray(ts) * 30).astype(int), 0, N - 1)
+        return float(ate_rmse(camera_centers(est), camera_centers(gt[fids]),
+                              with_scale=(sensor == Sensor.MONOCULAR)))
+
+    def wrapped_correct(kf, kc, s12, R12, t12):
+        pre = measure_ate()
+        r = orig_correct(kf, kc, s12, R12, t12)
+        post = measure_ate()
+        closures.append({
+            "at_frame": len(slam.tracker.frame_log),
+            "kf": int(kf), "kc": int(kc), "scale": round(float(s12), 4),
+            "ate_pre_m": round(pre, 4) if pre is not None else None,
+            "ate_post_m": round(post, 4) if post is not None else None,
+            "pgo_edges": dict(slam.loop_closer.last_pgo_edges),
+            "fused": int(slam.loop_closer.n_loop_fused),
+        })
+        return r
+
+    slam.loop_closer._correct_loop = wrapped_correct
+
     t0 = time.perf_counter()
     tracked = slam.run_sequence(frames(), pipelined=True, progress_every=200)
     wall = time.perf_counter() - t0
@@ -111,9 +149,14 @@ def main():
         "loops": slam.loop_closer.n_loops_closed,
         "gba_applied": slam.global_ba.n_applied,
         "loop_fused": slam.loop_closer.n_loop_fused,
+        "closures": closures,
         "device": jax.devices()[0].platform,
     }
     print(json.dumps(out))
+    if args.min_loops and len(closures) < args.min_loops:
+        print(f"FAILED: {len(closures)} closures < --min-loops "
+              f"{args.min_loops}", file=sys.stderr)
+        return 1
     return 0
 
 

@@ -11,6 +11,7 @@ from test_slam_e2e import make_cfg
 
 
 @pytest.mark.slow
+@pytest.mark.endurance
 class TestLoopClosure:
     def test_explicit_loop_closure_after_drift(self):
         """A full lap of a corridor circuit (outer box minus inner box):
@@ -85,6 +86,7 @@ class TestLoopClosure:
 
 
 @pytest.mark.slow
+@pytest.mark.endurance
 class TestLoopClosureRGBD:
     def test_fixed_scale_loops_stay_metric(self):
         """RGB-D lap of the corridor circuit: depth anchors metric scale, so
