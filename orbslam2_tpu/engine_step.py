@@ -31,6 +31,7 @@ from .ops import matching as M
 from .ops import pose_opt as PO
 from .ops import refine as RF
 from .ops import stereo as ST
+from .ops import twoview as TV
 
 
 @functools.partial(
@@ -449,3 +450,102 @@ def track_frames_block(imgs, auxs, T_last, T_prev,
         [hdr_i, outs.kp_pt, outs.imat[:, :, 1], flags, depth_i, frus_w],
         axis=1)
     return outs, chain, packed
+
+
+class MonoInitOut(NamedTuple):
+    """Device-side result of mono_init_step.
+
+    hdr [16] f32: [n_valid, n_matches, success, n_good, R.ravel()(9), t(3)]
+    — the only leaf the host fetches per attempt (one round trip); the rest
+    stays on device and is materialized ONCE when initialization succeeds.
+    idx/good/X/xy2*: per REFERENCE-frame row (search_for_initialization's
+    match layout). fmat/imat/desc/patch: the current frame's features in
+    the TrackFrameOut packing, so the host Frame decode is shared.
+    """
+    hdr: jnp.ndarray
+    idx: jnp.ndarray        # [N] int32: ref row -> current feature (-1)
+    good: jnp.ndarray       # [N] bool: triangulated inlier (pre mask-join)
+    X: jnp.ndarray          # [N, 3] points in ref-camera frame
+    xy2: jnp.ndarray        # [N, 2] refined und position of the match
+    xy2_raw: jnp.ndarray    # [N, 2] refined raw position
+    ref_ok: jnp.ndarray     # [N] bool: match existed AND was LK-refined
+    fmat: jnp.ndarray       # [N, 11] (TrackFrameOut layout; depth/ur = -1)
+    imat: jnp.ndarray       # [N, 5]
+    desc: jnp.ndarray       # [N, 8] u32
+    patch: jnp.ndarray      # [N, 15, 15] u8
+
+
+@functools.partial(jax.jit, static_argnames=("params", "cam"))
+def mono_init_step(img, key, ref_xy, ref_desc, ref_valid, ref_angle,
+                   ref_patch, sf, params: OrbParams, cam) -> MonoInitOut:
+    """One monocular-initialization attempt, fused into a single dispatch.
+
+    The reference's MonocularInitialization (src/Tracking.cpp:729-832:
+    SearchForInitialization -> Initializer::Initialize H/F RANSAC) ran here
+    as 3-4 separate host-driven stages, each paying a relay round trip —
+    ~700 ms per NOT_INITIALIZED frame, the dominant term of the bench's
+    mean-over-median gap. Fused: extraction, windowed init matching,
+    feature-metric refinement of the matches against the reference frame's
+    templates, and the 200-hypothesis H+F two-view RANSAC all run in ONE
+    program; the host fetches a 16-float header to drive the state machine
+    and materializes the big tensors only on success.
+
+    ref_*: the reference frame's feature arrays (device-chained from ITS
+    OWN mono_init_step dispatch — never re-uploaded). For the first frame
+    (no reference yet) the caller passes zeros with ref_valid all-False:
+    the match count comes back 0 and the host only consumes n_valid.
+    """
+    H, W = cam.height, cam.width
+    img = img.astype(jnp.float32)
+    feats = F.extract_orb(img, params, H, W)
+    xy_und = cam_mod.undistort_pixels(cam, feats.xy)
+    res = M.search_for_initialization(
+        ref_xy, ref_desc, ref_valid, ref_angle,
+        xy_und, feats.desc, feats.valid, feats.angle)
+    idx = res.idx
+    m = idx >= 0
+    n_matches = jnp.sum(m)
+
+    # feature-metric refinement: matched current windows against the
+    # reference frame's anchor templates (same semantics as the host path:
+    # tracking._refine_measurements over mask_cur)
+    tpl = RF.template_of(ref_patch.astype(jnp.float32))
+    winc = feats.patch[jnp.clip(idx, 0)]
+    delta, okr = RF.refine_offsets(winc, tpl, m)
+    okr = okr & m
+    oct_c = feats.octave[jnp.clip(idx, 0)]
+    sf_c = sf[jnp.clip(oct_c, 0, sf.shape[0] - 1)]
+    shift = delta * (sf_c * okr)[:, None]
+    xy2_raw = feats.xy[jnp.clip(idx, 0)] + shift
+    xy2u = cam_mod.undistort_pixels(cam, xy2_raw)
+    xy2 = jnp.where(okr[:, None], xy2u, xy_und[jnp.clip(idx, 0)])
+    xy2 = jnp.where(m[:, None], xy2, 0.0)
+
+    K3 = jnp.array([[cam.fx, 0.0, cam.cx],
+                    [0.0, cam.fy, cam.cy],
+                    [0.0, 0.0, 1.0]], jnp.float32)
+    tv = TV.initialize_two_view(key, ref_xy, xy2, m, K3)
+
+    n_valid = jnp.sum(feats.valid)
+    hdr = jnp.concatenate([
+        jnp.stack([n_valid, n_matches,
+                   tv.success.astype(jnp.int32),
+                   jnp.sum(tv.good & m)]).astype(jnp.float32),
+        tv.R.ravel(), tv.t])
+
+    N = feats.xy.shape[0]
+    neg1 = jnp.full((N, 1), -1.0, jnp.float32)
+    fmat = jnp.concatenate([
+        xy_und, feats.xy, xy_und, neg1, neg1, neg1,
+        feats.angle[:, None], feats.response[:, None]], axis=1)
+    # per-CURRENT-feature refined flag (scatter from ref rows)
+    refined_cur = jnp.zeros((N,), jnp.int32).at[
+        jnp.where(okr, idx, N)].set(1, mode="drop")
+    zeros = jnp.zeros((N,), jnp.int32)
+    imat = jnp.stack([feats.octave, zeros - 1, zeros - 1,
+                      refined_cur, feats.valid.astype(jnp.int32)], axis=1)
+    return MonoInitOut(
+        hdr=hdr, idx=idx, good=tv.good, X=tv.points3d,
+        xy2=xy2, xy2_raw=xy2_raw, ref_ok=okr,
+        fmat=fmat, imat=imat, desc=feats.desc,
+        patch=jnp.clip(jnp.round(feats.patch), 0, 255).astype(jnp.uint8))

@@ -133,6 +133,13 @@ class Tracker:
         self._last_dev_frame_id = -1
         self._sf_dev = jnp.asarray(self.sf)
         self._sig2_dev = jnp.asarray(self.sigma2)
+        # fused mono-init state: the reference attempt's device outputs
+        # (chained — never re-uploaded), its (frame_id, ts, n_valid), and
+        # the all-zero ref placeholder for the no-reference dispatch
+        self._init_out = None
+        self._init_meta = None
+        self._init_ref_args = None
+        self._init_zero = None
 
     # ------------------------------------------------------------------ utils
     def _next_key(self):
@@ -220,6 +227,12 @@ class Tracker:
             # steady state: the whole per-frame hot path is ONE device
             # dispatch + one batched readback (engine_step.track_frame_full)
             return self._track_fused(img, timestamp, depth_map, right_img)
+        if (self.state == TrackState.NOT_INITIALIZED
+                and self.cfg.sensor == Sensor.MONOCULAR):
+            # fused mono init: one dispatch + a 16-float readback per
+            # attempt (the staged path cost ~700 ms/frame of relay round
+            # trips — the dominant term of the bench mean-over-median gap)
+            return self._mono_init_fused(img, timestamp)
         builder = (self.init_builder
                    if self.state == TrackState.NOT_INITIALIZED else self.builder)
         frame = builder.build(img, timestamp, depth_map=depth_map,
@@ -413,6 +426,106 @@ class Tracker:
         for k in kfs:
             self.map.remove_keyframe(k)
         self.init_ref = None
+
+    # ---------------------------------------------------- fused mono init
+    def _frame_from_mats(self, fmat, imat, desc, patch, frame_id,
+                         timestamp) -> Frame:
+        """Materialize a host Frame from the TrackFrameOut/MonoInitOut
+        packed feature tensors (same decode as _ensure_features)."""
+        fr = Frame(
+            frame_id=frame_id, timestamp=timestamp,
+            xy=fmat[:, 0:2].copy(), xy_raw=fmat[:, 2:4].copy(),
+            octave=imat[:, 0].copy(), angle=fmat[:, 9].copy(),
+            response=fmat[:, 10].copy(), desc=desc,
+            valid=imat[:, 4] != 0, depth=fmat[:, 8].copy(),
+            ur=fmat[:, 6].copy(), patch=patch.astype(np.float32),
+            xy0=fmat[:, 4:6].copy(), ur0=fmat[:, 7].copy())
+        fr._refined = imat[:, 3] != 0
+        return fr
+
+    def _mono_init_fused(self, img, timestamp) -> np.ndarray | None:
+        """MonocularInitialization driven by the fused device program
+        (engine_step.mono_init_step): one dispatch + one 16-float readback
+        per attempt; the full feature/point tensors are fetched ONCE, on
+        success. State machine semantics identical to
+        _monocular_initialization (src/Tracking.cpp:729-832)."""
+        ib = self.init_builder
+        N = ib.orb.n_features
+        cam = self.cfg.camera
+        frame_id = ib._next_id
+        ib._next_id += 1
+        if self._init_ref_args is None:
+            if self._init_zero is None:
+                self._init_zero = (
+                    jnp.zeros((N, 2), jnp.float32),
+                    jnp.zeros((N, 8), jnp.uint32),
+                    jnp.zeros((N,), bool),
+                    jnp.zeros((N,), jnp.float32),
+                    jnp.zeros((N, 15, 15), jnp.uint8))
+            ref_args = self._init_zero
+        else:
+            ref_args = self._init_ref_args
+        out = ES.mono_init_step(
+            jnp.asarray(img), self._next_key(), *ref_args,
+            self._sf_dev, params=ib.orb, cam=cam)
+        hdr = _np(out.hdr)
+        n_valid, n_matches, success, n_good = (int(v) for v in hdr[:4])
+
+        def set_ref():
+            self._init_out = out
+            self._init_meta = (frame_id, timestamp, n_valid)
+            self._init_ref_args = (out.fmat[:, 0:2], out.desc,
+                                   out.imat[:, 4] != 0, out.fmat[:, 9],
+                                   out.patch)
+
+        def clear_ref():
+            self._init_out = None
+            self._init_meta = None
+            self._init_ref_args = None
+
+        if self._init_out is None or self._init_meta[2] < 100:
+            # (re)pick the reference frame (src/Tracking.cpp:735-754)
+            if n_valid > 100:
+                set_ref()
+            else:
+                clear_ref()
+            return None
+        if n_valid <= 100:
+            clear_ref()
+            return None
+        if n_matches < 100:  # src/Tracking.cpp:784-790
+            clear_ref()
+            return None
+        if not success or n_good < 50:
+            return None  # keep the reference, try the next frame
+
+        # success: materialize both frames + the init geometry (one
+        # batched round trip), then build the initial map
+        from .utils import fetch
+        ro = self._init_out
+        (r_fmat, r_imat, r_desc, r_patch, c_fmat, c_imat, c_desc, c_patch,
+         idx, good, X, xy2, xy2_raw, refok) = fetch(
+            ro.fmat, ro.imat, ro.desc, ro.patch,
+            out.fmat, out.imat, out.desc, out.patch,
+            out.idx, out.good, out.X, out.xy2, out.xy2_raw, out.ref_ok)
+        ref_id, ref_ts, _ = self._init_meta
+        ref = self._frame_from_mats(r_fmat, r_imat, r_desc, r_patch,
+                                    ref_id, ref_ts)
+        frame = self._frame_from_mats(c_fmat, c_imat, c_desc, c_patch,
+                                      frame_id, timestamp)
+        # apply the in-program feature-metric refinement to the frame copy
+        frame.xy[idx[refok]] = xy2[refok]
+        frame.xy_raw[idx[refok]] = xy2_raw[refok]
+        good = good & (idx >= 0)
+        R = hdr[4:13].reshape(3, 3).astype(np.float32)
+        t = hdr[13:16].astype(np.float32)
+        with self.map.lock:
+            self._create_initial_map_monocular(ref, frame, idx, good, R, t, X)
+            if self.state == TrackState.OK:
+                clear_ref()
+                self._log_frame(frame, lost=False)
+                return frame.pose
+        return None
 
     def _stereo_initialization(self, frame: Frame):
         """StereoInitialization (src/Tracking.cpp:637-727): single-frame

@@ -328,3 +328,53 @@ class TestNodeGatedSearchByBoW:
             jnp.asarray(voc.node_word), jnp.asarray(desc[::-1].copy()),
             jnp.asarray(valid), voc.levels)
         assert (np.asarray(n2)[::-1] == n1).all()
+
+
+class TestEPnPMinimal:
+    def test_minimal_4pt_recovery_rate(self):
+        """EPnP on exact 4-point minimal sets (the RANSAC sample size,
+        src/Tracking.cpp:1851): >=80% of noiseless samples must recover the
+        pose — the per-sample success that gives the 4-pt sampler its
+        low-inlier-ratio advantage over a 6-pt DLT."""
+        from orbslam2_tpu.geometry import se3
+        rng = np.random.default_rng(4)
+        T_gt = np.asarray(se3.se3_exp(jnp.asarray(
+            [0.3, -0.1, 0.2, 0.05, -0.04, 0.08])))
+        good = 0
+        n_trials = 20
+        for _ in range(n_trials):
+            X = np.stack([rng.uniform(-2, 2, 4), rng.uniform(-1.5, 1.5, 4),
+                          rng.uniform(4, 9, 4)], -1).astype(np.float32)
+            pc = X @ T_gt[:, :3].T + T_gt[:, 3]
+            uv = np.stack([500 * pc[:, 0] / pc[:, 2] + 320,
+                           500 * pc[:, 1] / pc[:, 2] + 240],
+                          -1).astype(np.float32)
+            T = np.asarray(PNP._epnp_pose(jnp.asarray(X), jnp.asarray(uv),
+                                          500., 500., 320., 240.))
+            good += np.abs(T - T_gt).max() < 0.05
+        assert good >= 0.8 * n_trials, f"only {good}/{n_trials} minimal sets"
+
+    def test_low_inlier_relocalization_regime(self):
+        """70% outliers — the regime the 4-point sample exists for (a 6-pt
+        DLT sample needs w^6 vs w^4 all-inlier draws): the RANSAC must
+        still find the pose and reject the outliers."""
+        from orbslam2_tpu.geometry import se3
+        rng = np.random.default_rng(11)
+        T_gt = np.asarray(se3.se3_exp(jnp.asarray(
+            [0.1, 0.2, -0.1, 0.02, 0.05, -0.03])))
+        n = 128
+        X = np.stack([rng.uniform(-2, 2, n), rng.uniform(-1.5, 1.5, n),
+                      rng.uniform(4, 9, n)], -1).astype(np.float32)
+        pc = X @ T_gt[:, :3].T + T_gt[:, 3]
+        uv = np.stack([500 * pc[:, 0] / pc[:, 2] + 320,
+                       500 * pc[:, 1] / pc[:, 2] + 240], -1).astype(np.float32)
+        uv += rng.normal(0, 0.5, uv.shape)
+        out = rng.choice(n, 90, replace=False)
+        uv[out] = rng.uniform([0, 0], [640, 480], (90, 2))
+        res = PNP.pnp_ransac(jax.random.PRNGKey(1), jnp.asarray(X),
+                             jnp.asarray(uv), jnp.ones(n, jnp.float32),
+                             jnp.ones(n, bool), 500., 500., 320., 240.)
+        assert int(res.n_inliers) >= 30
+        inl = np.asarray(res.inliers)
+        assert inl[out].sum() <= 2
+        assert np.abs(np.asarray(res.T) - T_gt).max() < 0.05
