@@ -167,9 +167,12 @@ class LocalMapper:
             n = len(f)
             pad = Mb - n
             fp = np.concatenate([f, np.zeros(pad, f.dtype)])
-            win = mp.kf_patch[tkf, fp].astype(np.float32)
+            # u8 on the wire (refine_offsets casts on device)
+            win = np.clip(np.round(mp.kf_patch[tkf, fp]), 0, 255
+                          ).astype(np.uint8)
             tpl = np.concatenate(
-                [t.astype(np.float32), np.zeros((pad,) + t.shape[1:], np.float32)])
+                [np.clip(np.round(t), 0, 255).astype(np.uint8),
+                 np.zeros((pad,) + t.shape[1:], np.uint8)])
             vmask = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
             delta, ok = RF.refine_offsets(
                 jnp.asarray(win), jnp.asarray(tpl), jnp.asarray(vmask))
@@ -203,9 +206,12 @@ class LocalMapper:
             pad = Mb - n
             kp = np.concatenate([k, np.zeros(pad, k.dtype)])
             fp = np.concatenate([f, np.zeros(pad, f.dtype)])
-            win = mp.kf_patch[kp, fp].astype(np.float32)
+            # u8 on the wire (refine_offsets casts on device)
+            win = np.clip(np.round(mp.kf_patch[kp, fp]), 0, 255
+                          ).astype(np.uint8)
             tpl = np.concatenate(
-                [t.astype(np.float32), np.zeros((pad,) + t.shape[1:], np.float32)])
+                [np.clip(np.round(t), 0, 255).astype(np.uint8),
+                 np.zeros((pad,) + t.shape[1:], np.uint8)])
             vmask = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
             delta, ok = RF.refine_offsets(
                 jnp.asarray(win), jnp.asarray(tpl), jnp.asarray(vmask))
@@ -231,6 +237,53 @@ class LocalMapper:
             return
         self._refine_obs_absolute(kf, feats, mp.pt_patch[mp.kf_pt[kf, feats]])
 
+    # ---------------------------------------------- split prep (dispatch/apply)
+    def _refine_bound_dispatch(self, kf: int):
+        """Dispatch half of refine_bound_observations: start the per-bucket
+        refine programs and return (bucket contexts, device handles) without
+        fetching. Windows/templates ship as u8 (4x cheaper on
+        remote-attached runtimes; refine_offsets casts on device)."""
+        mp = self.map
+        feats = np.flatnonzero(mp.kf_pt[kf] >= 0)
+        if len(feats) == 0:
+            return []
+        templates = mp.pt_patch[mp.kf_pt[kf, feats]]
+        Mb = 2048
+        buckets = []
+        for s in range(0, len(feats), Mb):
+            f = feats[s:s + Mb]
+            t = templates[s:s + Mb]
+            n = len(f)
+            pad = Mb - n
+            fp = np.concatenate([f, np.zeros(pad, f.dtype)])
+            win = np.clip(np.round(mp.kf_patch[kf, fp]), 0, 255
+                          ).astype(np.uint8)
+            tpl = np.concatenate(
+                [np.clip(np.round(t), 0, 255).astype(np.uint8),
+                 np.zeros((pad,) + t.shape[1:], np.uint8)])
+            vmask = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
+            delta, ok = RF.refine_offsets(
+                jnp.asarray(win), jnp.asarray(tpl), jnp.asarray(vmask))
+            buckets.append((fp, vmask, delta, ok))
+        return buckets
+
+    def _refine_bound_apply(self, kf: int, buckets):
+        """Host half: apply fetched refine offsets (same math as
+        _refine_obs_absolute's tail). `buckets` entries carry host arrays
+        for delta/ok by the time this runs."""
+        mp = self.map
+        sf = self.sf
+        for fp, vmask, delta, ok in buckets:
+            ok = np.asarray(ok) & vmask
+            if not ok.any():
+                continue
+            fo = fp[ok]
+            d = np.asarray(delta)[ok] * sf[
+                np.clip(mp.kf_octave[kf, fo], 0, len(sf) - 1)][:, None]
+            mp.kf_xy[kf, fo] = mp.kf_xy0[kf, fo] + d
+            ur0 = mp.kf_ur0[kf, fo]
+            mp.kf_ur[kf, fo] = np.where(ur0 >= 0, ur0 + d[:, 0], ur0)
+
     # ---------------------------------------------------------------- process
     def process(self, kf: int):
         """ProcessNewKeyFrame + the per-KF pipeline (LocalMapping::Run,
@@ -250,14 +303,44 @@ class LocalMapper:
         # a stale interrupt from before this keyframe entered the queue
         # must not cancel ITS BA (mbAbortBA is cleared per keyframe)
         self._interrupt_ba.clear()
+        # --- prep, split into dispatch / fetch / apply: the BoW word
+        # assignment and the observation refinement are device programs, and
+        # fetching them one-by-one UNDER the map lock put 2-3 relay round
+        # trips (~200 ms) inside the tracker's critical section on every
+        # keyframe. Dispatch both while holding the lock (cheap, async),
+        # fetch them together OUTSIDE the lock, re-take it to apply. Safe:
+        # only this thread culls keyframes/points, so the snapshot cannot
+        # go stale in between. ---
+        bow_owner = getattr(self.bow_encode, "__self__", None)
+        bow_split = (self.kf_db is not None and bow_owner is not None
+                     and hasattr(bow_owner, "frame_bow_dispatch"))
         with self.map.lock:
-            self.register_keyframe(kf)
-            self.refine_bound_observations(kf)
+            bow_dev = (bow_owner.frame_bow_dispatch(
+                self.map.kf_desc[kf], self.map.kf_feat_valid[kf])
+                if bow_split else None)
+            buckets = self._refine_bound_dispatch(kf)
             # spanning-tree parent: most covisible KF at insertion
             if self.map.kf_parent[kf] < 0:
                 w = self.map.covisibility_weights(kf)
                 if w.max() > 0:
                     self.map.kf_parent[kf] = int(np.argmax(w))
+        leaves = list(bow_dev) if bow_dev is not None else []
+        for b in buckets:
+            leaves.extend(b[2:])
+        if leaves:
+            got = iter(fetch(*leaves))
+            if bow_dev is not None:
+                bow_host = (next(got), next(got), next(got))
+            buckets = [(fp, vm, next(got), next(got))
+                       for fp, vm, _, _ in buckets]
+        with self.map.lock:
+            if bow_dev is not None:
+                vec, nodes = bow_owner.frame_bow_finish(*bow_host)
+                self.map.kf_bow_node[kf] = nodes
+                self.kf_db.add(kf, vec)
+            elif self.kf_db is not None and self.bow_encode is not None:
+                self.register_keyframe(kf)
+            self._refine_bound_apply(kf, buckets)
             self.map.refresh_point_stats(
                 np.unique(self.map.kf_pt[kf][self.map.kf_pt[kf] >= 0]))
             self.cull_recent_points()

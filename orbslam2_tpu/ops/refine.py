@@ -78,6 +78,9 @@ def refine_offsets(patches: jnp.ndarray, templates: jnp.ndarray,
     Apply as xy_level0 += delta * scale_factor[octave] where ok.
     """
     M = patches.shape[0]
+    # accept u8 wire uploads (4x cheaper on remote-attached runtimes)
+    patches = patches.astype(jnp.float32)
+    templates = templates.astype(jnp.float32)
     w = jnp.asarray(_gauss_weight())  # [11, 11]
 
     # bias-corrected template and its gradients (inverse-compositional: the

@@ -36,6 +36,29 @@ class Relocalizer:
         self.sigma2 = F.sigma2_per_octave(cfg.orb)
         self._key = jax.random.PRNGKey(17)
 
+    def frame_bow_dispatch(self, desc: np.ndarray, valid: np.ndarray):
+        """Async half of frame_bow: start the device word-assignment and
+        return the (words, wvalid, nodes) device handles WITHOUT fetching —
+        callers that batch several round trips (LocalMapper's keyframe
+        prep) fetch these together with their other results and feed the
+        host arrays to frame_bow_finish."""
+        return BOW.assign_words(
+            jnp.asarray(self.voc.node_desc), jnp.asarray(self.voc.node_children),
+            jnp.asarray(self.voc.node_word), jnp.asarray(desc),
+            jnp.asarray(valid), self.voc.levels)
+
+    def frame_bow_finish(self, words, wvalid, nodes):
+        """Host half of frame_bow: sparse tf-idf vector from fetched word
+        assignments."""
+        w = np.asarray(words)[np.asarray(wvalid)]
+        uniq, counts = np.unique(w, return_counts=True)
+        wt = self.voc.word_weight[uniq] * counts
+        s = wt.sum()
+        if s > 0:
+            wt = wt / s
+        return ((uniq.astype(np.int32), wt.astype(np.float32)),
+                np.asarray(nodes, np.int32))
+
     def frame_bow(self, desc: np.ndarray, valid: np.ndarray):
         """Sparse tf-idf BoW of a frame plus per-feature gate nodes.
 
@@ -45,18 +68,9 @@ class Relocalizer:
         src/ORBmatcher.cpp:243-299). The device kernel assigns words; the
         sparse vector is built on host so memory stays O(words-per-frame)
         regardless of vocabulary size."""
-        words, wvalid, nodes = BOW.assign_words(
-            jnp.asarray(self.voc.node_desc), jnp.asarray(self.voc.node_children),
-            jnp.asarray(self.voc.node_word), jnp.asarray(desc),
-            jnp.asarray(valid), self.voc.levels)
-        w = np.asarray(words)[np.asarray(wvalid)]
-        uniq, counts = np.unique(w, return_counts=True)
-        wt = self.voc.word_weight[uniq] * counts
-        s = wt.sum()
-        if s > 0:
-            wt = wt / s
-        return ((uniq.astype(np.int32), wt.astype(np.float32)),
-                np.asarray(nodes, np.int32))
+        words, wvalid, nodes = self.frame_bow_dispatch(desc, valid)
+        return self.frame_bow_finish(np.asarray(words), np.asarray(wvalid),
+                                     np.asarray(nodes))
 
     def relocalize(self, frame: Frame) -> bool:
         vec, qnodes = self.frame_bow(frame.desc, frame.valid)

@@ -221,11 +221,18 @@ class Tracker:
     def process_image(self, img: np.ndarray, timestamp: float,
                       depth_map: np.ndarray | None = None,
                       right_img: np.ndarray | None = None) -> np.ndarray | None:
-        if (self.state == TrackState.OK and self.velocity is not None
-                and self.last_frame is not None
+        if (self.state == TrackState.OK and self.last_frame is not None
                 and self.last_frame.pose is not None):
             # steady state: the whole per-frame hot path is ONE device
-            # dispatch + one batched readback (engine_step.track_frame_full)
+            # dispatch + one batched readback (engine_step.track_frame_full).
+            # velocity None (first frame after init/reloc) runs the same
+            # program with a ZERO-velocity prediction; on a short 30 fps
+            # baseline the windowed motion-model search covers it, and the
+            # staged TrackReferenceKeyFrame fallback still fires when it
+            # does not (the reference goes straight to BoW matching here,
+            # src/Tracking.cpp:381-387 — same fallback, one dispatch later;
+            # the staged first post-init frame cost ~1.5 s of relay round
+            # trips, the single largest non-init frame in the bench tail)
             return self._track_fused(img, timestamp, depth_map, right_img)
         if (self.state == TrackState.NOT_INITIALIZED
                 and self.cfg.sensor == Sensor.MONOCULAR):
@@ -416,10 +423,45 @@ class Tracker:
         frame.pt_idx = pt_of_cur
         self.ref_kf = k1
         self.last_kf_frame_id = frame.frame_id
-        self.last_frame = frame
+        # the init frame carries 2x the tracker's feature budget
+        # (src/Tracking.cpp:148-149); squeeze it to tracker capacity so the
+        # NEXT frame can run the fused/blocked zero-velocity path (whose
+        # program shapes are fixed at n_features). Bound rows survive
+        # preferentially; pt_idx entries are map point IDS, so row
+        # subsetting never invalidates a binding.
+        self.last_frame = self._squeeze_frame(
+            frame, F.padded_capacity(self.builder.orb.n_features))
         self.init_ref = None
         self.init_frame_id = frame.frame_id
         self.state = TrackState.OK
+
+    def _squeeze_frame(self, frame: Frame, n: int) -> Frame:
+        """Row-subset a frame to capacity n: point-bound rows first, then
+        the highest-response unbound valid rows. Identity when n >= cap."""
+        if frame.capacity <= n:
+            return frame
+        bound = frame.pt_idx >= 0 if frame.pt_idx is not None else \
+            np.zeros(frame.capacity, bool)
+        resp = np.where(frame.valid, frame.response, -np.inf)
+        order = np.lexsort((-resp, ~bound))  # bound rows first, by response
+        rows = np.sort(order[:n])
+        fr = Frame(
+            frame_id=frame.frame_id, timestamp=frame.timestamp,
+            xy=frame.xy[rows], xy_raw=frame.xy_raw[rows],
+            octave=frame.octave[rows], angle=frame.angle[rows],
+            response=frame.response[rows], desc=frame.desc[rows],
+            valid=frame.valid[rows],
+            depth=frame.depth[rows] if frame.depth is not None else None,
+            ur=frame.ur[rows] if frame.ur is not None else None,
+            patch=frame.patch[rows] if frame.patch is not None else None,
+            xy0=frame.xy0[rows] if frame.xy0 is not None else None,
+            ur0=frame.ur0[rows] if frame.ur0 is not None else None)
+        fr.pose = frame.pose
+        fr.pt_idx = (frame.pt_idx[rows] if frame.pt_idx is not None
+                     else np.full(n, -1, np.int32))
+        if hasattr(frame, "_refined"):
+            fr._refined = frame._refined[rows]
+        return fr
 
     def _reset_initialization(self, pt_ids, kfs):
         self.map.remove_points(pt_ids)
@@ -778,8 +820,10 @@ class Tracker:
                                            right_img=right_img)
                 return self.track(frame)
 
-            T_pred = se3_np.orthonormalize(
-                se3_np.compose(self.velocity, last.pose))
+            # velocity None -> zero-velocity prediction (see process_image)
+            T_pred = (last.pose if self.velocity is None
+                      else se3_np.orthonormalize(
+                          se3_np.compose(self.velocity, last.pose)))
             tmp_enable = bool(cfg.sensor != Sensor.MONOCULAR
                               and self.localization_only
                               and last.frame_id != self.last_kf_frame_id)
@@ -997,10 +1041,11 @@ class Tracker:
         def flush(full_only=False):
             nonlocal buf, inflight
             while True:
+                # velocity None (first frame after init) is fine: the block
+                # seed falls back to a zero-velocity prediction
                 can = (self.state == TrackState.OK
                        and self.last_frame is not None
                        and self.last_frame.pose is not None
-                       and self.velocity is not None
                        and not self.localization_only)
                 if can and len(buf) >= block:
                     chunk, buf = buf[:block], buf[block:]
@@ -1044,8 +1089,11 @@ class Tracker:
             last.pt_idx = self.map.resolve_point_ids(last.pt_idx)
             ld = self._last_dev_arrays(last)
         T_last = jnp.asarray(last.pose)
-        T_prev = jnp.asarray(se3_np.compose(
-            se3_np.inverse(self.velocity), last.pose).astype(np.float32))
+        # velocity None -> zero-velocity seed (T_prev == T_last makes the
+        # on-device constant-velocity prediction the identity)
+        T_prev = jnp.asarray(
+            last.pose if self.velocity is None else se3_np.compose(
+                se3_np.inverse(self.velocity), last.pose).astype(np.float32))
         self._blk_chain = (T_last, T_prev, jnp.asarray(last.pt_idx),
                           ld["xy"], ld["desc"], ld["octave"], ld["angle"],
                           ld["patch"], ld["valid"], ld["depth"])
@@ -1449,10 +1497,54 @@ class Tracker:
         associations that became outliers under the fresh geometry. On the
         synchronous path this second optimization is ~idempotent."""
         mp = self.map
-        self._ensure_features(frame)
-        _ensure_patch(frame)
-        if frame.pose is not None and (frame.pt_idx >= 0).sum() >= 10:
-            self._pose_optimize(frame)
+        lazy = getattr(frame, "_lazy", None)
+        polish = frame.pose is not None and (frame.pt_idx >= 0).sum() >= 10
+        if lazy is not None and polish:
+            # block-driver frame: the features still live on device, so the
+            # polish runs on the DEVICE feature slices and its result comes
+            # back in the SAME batched round trip as the feature
+            # materialization — the staged path paid ~2 extra relay round
+            # trips per keyframe (fetch features, then dispatch+fetch the
+            # polish on the host copies)
+            outs, k_row = lazy
+            frame._lazy = None
+            pt = frame.pt_idx
+            bound = (pt >= 0) & frame.valid & mp.pt_valid[np.clip(pt, 0, None)]
+            pts_xyz = mp.pt_xyz[np.clip(pt, 0, None)].astype(np.float32)
+            fmat_d = outs.fmat[k_row]
+            obs_d = jnp.concatenate([fmat_d[:, 0:2], fmat_d[:, 6:7]], -1)
+            info_d = (1.0 / self._sig2_dev)[jnp.clip(
+                outs.imat[k_row][:, 0], 0, len(self.sigma2) - 1)]
+            bound_d = jnp.asarray(bound)
+            cam = self.cfg.camera
+            res = PO.pose_optimize(
+                jnp.asarray(frame.pose), jnp.asarray(pts_xyz), obs_d,
+                (fmat_d[:, 6] >= 0) & bound_d, info_d, bound_d,
+                cam.fx, cam.fy, cam.cx, cam.cy, cam.bf)
+            from .utils import fetch
+            fmat, imat, desc, patch, T_new, inl = fetch(
+                outs.fmat[k_row], outs.imat[k_row], outs.desc[k_row],
+                outs.patch[k_row], res.T, res.inliers)
+            frame.xy = fmat[:, 0:2].copy()
+            frame.xy_raw = fmat[:, 2:4].copy()
+            frame.xy0 = fmat[:, 4:6].copy()
+            frame.ur = fmat[:, 6].copy()
+            frame.ur0 = fmat[:, 7].copy()
+            frame.angle = fmat[:, 9].copy()
+            frame.response = fmat[:, 10].copy()
+            frame.octave = imat[:, 0].copy()
+            frame.desc = desc
+            frame._refined = imat[:, 3] != 0
+            frame.patch = patch.astype(np.float32)
+            frame._patch_dev = None
+            frame.pose = T_new.copy()
+            frame.pt_idx = np.where(bound & ~np.asarray(inl), -1,
+                                    frame.pt_idx)
+        else:
+            self._ensure_features(frame)
+            _ensure_patch(frame)
+            if polish:
+                self._pose_optimize(frame)
         k = mp.add_keyframe(frame.pose, frame.timestamp, frame.frame_id,
                             frame.xy, frame.octave, frame.angle, frame.desc,
                             frame.valid, frame.pt_idx,
