@@ -83,6 +83,7 @@ def _full_system(sensor_name: str = "mono", n_frames: int = 180):
     warm = System(cfg, async_mapping=True)
     warm.run_sequence(iter(frames_data), pipelined=True)
     warm.shutdown()
+    _warm_ba_buckets(cfg)
     # Measured run: async_mapping=True is the production configuration —
     # keyframe mapping (triangulate/fuse/local-BA) runs on a worker thread
     # under MapState.lock, concurrent with block tracking, exactly the
@@ -139,6 +140,38 @@ def _full_system(sensor_name: str = "mono", n_frames: int = 180):
                 n=n_frames, n_trackable=n_trackable, n_init=n_init,
                 repeat_medians=all_meds,
                 wall_s=wall, keyframes=slam.map.n_keyframes, ate_m=ate)
+
+
+def _warm_ba_buckets(cfg):
+    """Force-load the small local-BA bucket programs the measured run can
+    reach. The warmup System covers whatever buckets ITS nondeterministic
+    keyframe schedule happened to hit; a missed (C, P, E) combo then costs
+    a ~2 s compiled-program cache load MID-measurement (observed as a
+    1.5-1.8 s `ba` spike on one keyframe). Touching the 4 smallest combos
+    here moves that cost into warmup deterministically."""
+    import jax.numpy as jnp
+    from orbslam2_tpu.ops import ba as BA
+
+    cam = cfg.camera
+    C = cfg.ba_cam_buckets[0]
+    for P in cfg.ba_point_buckets[:2]:
+        for E in cfg.ba_edge_buckets[:2]:
+            prob = BA.BAProblem(
+                cam_T=jnp.tile(jnp.eye(3, 4, dtype=jnp.float32), (C, 1, 1)),
+                cam_fixed=jnp.arange(C) == 0,
+                cam_valid=jnp.ones(C, bool),
+                pts=jnp.tile(jnp.asarray([0.0, 0.0, 5.0], jnp.float32),
+                             (P, 1)),
+                pt_valid=jnp.ones(P, bool),
+                e_cam=(jnp.arange(E) % C).astype(jnp.int32),
+                e_pt=(jnp.arange(E) % P).astype(jnp.int32),
+                e_obs=jnp.tile(jnp.asarray(
+                    [cam.cx, cam.cy, 0.0], jnp.float32), (E, 1)),
+                e_stereo=jnp.zeros(E, bool),
+                e_info=jnp.ones(E, jnp.float32),
+                e_valid=jnp.ones(E, bool))
+            r = BA.ba_solve(prob, cam.fx, cam.fy, cam.cx, cam.cy, cam.bf)
+            np.asarray(r.cost)
 
 
 def _microbench():

