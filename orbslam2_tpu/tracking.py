@@ -1035,7 +1035,9 @@ class Tracker:
                 bad, inflight = inflight, []
                 self._blk_chain = None
                 for ctx2 in bad:
-                    for item in ctx2["chunk"]:
+                    real = ctx2["chunk"][:ctx2.get("n_real",
+                                                   len(ctx2["chunk"]))]
+                    for item in real:
                         yield sync_one(item)
 
         def flush(full_only=False):
@@ -1060,6 +1062,26 @@ class Tracker:
                     inflight.append(ctx)
                     if len(inflight) > pipeline_depth:
                         yield from finish_oldest()
+                    continue
+                # final flush with a partial tail: pad the chunk to the
+                # block's static width by repeating the last frame and let
+                # _blk_finish drop the padded outputs — one amortized block
+                # dispatch instead of per-frame sync round trips (~200 ms
+                # each on a remote-attached runtime)
+                if not full_only and can and 0 < len(buf) < block:
+                    chunk_real, buf = buf, []
+                    chunk = chunk_real + [chunk_real[-1]] * (
+                        block - len(chunk_real))
+                    ctx = self._blk_dispatch(chunk)
+                    if ctx is None:  # no local points: sync the tail
+                        while inflight:
+                            yield from finish_oldest()
+                        self._blk_chain = None
+                        for item in chunk_real:
+                            yield sync_one(item)
+                        continue
+                    ctx["n_real"] = len(chunk_real)
+                    inflight.append(ctx)
                     continue
                 # a sync frame must run next only when frames are waiting
                 # and blocks cannot absorb them (not-OK state, tail flush);
@@ -1201,9 +1223,13 @@ class Tracker:
         if timing:
             print(f"  [blk-fetch: {1e3*(_time.perf_counter()-t0):.0f} ms]",
                   flush=True)
-        blk_share = (_time.perf_counter() - t0) * 1e3 / K
+        # tail blocks are padded to the static width by repeating the last
+        # frame; only the real rows get host bookkeeping / yields, and the
+        # chain (which consumed the duplicates) is dropped afterwards
+        K_real = ctx.get("n_real", K)
+        blk_share = (_time.perf_counter() - t0) * 1e3 / K_real
         P = len(lp_pad)
-        for k in range(K):
+        for k in range(K_real):
             t_fin = _time.perf_counter()
             ts = chunk[k][0]
             hdr = pk[k, :32].copy().view(np.float32)
@@ -1229,7 +1255,7 @@ class Tracker:
             if pose is None or self.state != TrackState.OK or not mm_success:
                 # chain broken mid-block: remaining frames re-track sync
                 self._blk_chain = None
-                for item in chunk[k + 1:]:
+                for item in chunk[k + 1:K_real]:
                     t0s = _time.perf_counter()
                     pose2 = self.process_image(item[1], item[0],
                                                depth_map=item[2],
@@ -1238,6 +1264,8 @@ class Tracker:
                     yield item[0], pose2
                 return False
             self._blk_bindings = self.last_frame.pt_idx
+        if K_real < K:
+            self._blk_chain = None
         return True
 
     def _blk_finish_frame(self, mp, timestamp, T2, n_inl2_map, kp_pt, kp_mm,
