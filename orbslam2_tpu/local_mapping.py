@@ -124,10 +124,11 @@ class KFStore:
     later dispatch gathers it on device. Mutable inputs (poses, free-slot
     masks) stay host-supplied — they are tiny.
 
-    Slot recycling: kf ids are reused after culling, so each synced row
-    remembers the kf_frame_id it was uploaded for and re-syncs on mismatch.
-    Capacity tracks the host arrays (which grow by doubling); growth pads
-    the device arrays in place."""
+    Staleness: kf slots are monotonic in normal operation (alloc_kf never
+    reuses a culled slot), but load_map/reset repopulate slots wholesale —
+    each synced row therefore remembers the kf_frame_id it was uploaded
+    for and re-syncs on mismatch. Capacity tracks the host arrays (which
+    grow by doubling); growth pads the device arrays in place."""
 
     def __init__(self, mp: MapState):
         self.map = mp
