@@ -168,15 +168,21 @@ def triangulate_dlt(P1, P2, xy1, xy2):
     """Linear triangulation (Initializer::Triangulate, src/Initializer.cpp:951).
     P1, P2: [3, 4] projections (pixel or normalized), xy: [N, 2]. -> [N, 3].
 
-    Inhomogeneous DLT: fix the homogeneous weight w=1 and solve the 3x3
-    normal equations (BᵀB)X = -Bᵀc in closed form, instead of the null
-    vector of the [N, 4, 4] system by SVD — the reference's per-point
-    cv::SVD becomes, vectorized, a batched rectangular SVD that dominates
-    the whole init attempt on TPU (this runs for 12 motion hypotheses x
-    every match). The two parameterizations agree except for points at
-    infinity (w ≈ 0), which CheckRT's depth/parallax gates cull either
-    way, and the surviving points are polished by the 20-iteration init
-    BA (src/Tracking.cpp:907)."""
+    Closed-form inhomogeneous DLT seed + 2 Gauss-Newton iterations on the
+    reprojection residuals, instead of the null vector of the [N, 4, 4]
+    system by SVD — the reference's per-point cv::SVD becomes, vectorized,
+    a batched rectangular SVD that dominates the whole init attempt on TPU
+    (this runs for 12 motion hypotheses x every match).
+
+    Why the GN polish is load-bearing and not an embellishment: the normal
+    equations square the conditioning, and at depth/baseline ratios of
+    ~100 (corridor scenes; the mono neighbor gate allows up to 100,
+    src/LocalMapping.cpp:359) the f32 closed form alone loses the answer —
+    an endurance run collapsed at frame ~150 on exactly this. The GN steps
+    work on pixel-scale residuals (condition ~depth/baseline, not its
+    square) and restore SVD-grade accuracy for a few fused multiplies.
+    Points at infinity (w ≈ 0) still come out huge and are culled by the
+    callers' parallax/cheirality gates."""
     rows = []
     for P, xy in ((P1, xy1), (P2, xy2)):
         rows.append(xy[:, 0:1] * P[2][None] - P[0][None])
@@ -185,12 +191,34 @@ def triangulate_dlt(P1, P2, xy1, xy2):
     B, c = A[:, :, :3], A[:, :, 3]
     G = jnp.einsum("nri,nrj->nij", B, B)          # [N, 3, 3]
     rhs = -jnp.einsum("nri,nr->ni", B, c)         # [N, 3]
-    # adjugate 3x3 solve; near-singular G (point at infinity / zero
-    # parallax) yields a huge X that the depth gates reject, matching the
-    # homogeneous solution's w->0 behavior
     det = jnp.linalg.det(G)
     X = jnp.einsum("nij,nj->ni", _adj3(G), rhs) / jnp.where(
         jnp.abs(det) > 1e-20, det, 1e-20)[:, None]
+    return _triangulate_gn(X, (P1, P2), (xy1, xy2))
+
+
+def _triangulate_gn(X, Ps, xys, iters: int = 2, damp: float = 1e-6):
+    """Batched Gauss-Newton refinement of [N, 3] points against their
+    reprojections in each [3, 4] view of Ps. Pure arithmetic (3x3 adjugate
+    solves), no iterative decompositions."""
+    for _ in range(iters):
+        H = jnp.zeros(X.shape[:1] + (3, 3), X.dtype)
+        g = jnp.zeros_like(X)
+        for P, xy in zip(Ps, xys):
+            h = X @ P[:, :3].T + P[:, 3]            # [N, 3]
+            z = jnp.where(jnp.abs(h[:, 2:]) > 1e-9, h[:, 2:], 1e-9)
+            r = h[:, :2] / z - xy                    # [N, 2]
+            # J = d(h01/h2)/dX = (P01*h2 - h01*P2) / h2^2   [N, 2, 3]
+            J = (P[None, :2, :3] * z[..., None]
+                 - h[:, :2, None] * P[None, 2, :3]) / (z ** 2)[..., None]
+            H = H + jnp.einsum("nri,nrj->nij", J, J)
+            g = g + jnp.einsum("nri,nr->ni", J, r)
+        H = H + damp * jnp.eye(3, dtype=X.dtype)
+        det = jnp.linalg.det(H)
+        step = jnp.einsum("nij,nj->ni", _adj3(H), g) / jnp.where(
+            jnp.abs(det) > 1e-20, det, 1e-20)[:, None]
+        # keep the (huge, gate-culled) degenerate points finite
+        X = X - jnp.where(jnp.isfinite(step), step, 0.0)
     return X
 
 
