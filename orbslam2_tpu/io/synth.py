@@ -274,15 +274,25 @@ def make_corridor(seed=0, width=640, height=480, fx=500.0, fy=500.0,
     return RoomScene(planes, K, width, height)
 
 
-def corridor_trajectory(n_frames: int, radius=8.0, laps=1.0):
+def corridor_trajectory(n_frames: int, radius=8.0, laps=1.0, helix=0.0):
     """Circular circuit of `radius` inside the corridor, camera facing its
     direction of travel (tangent): the classic revisit-after-a-lap
-    loop-closure trajectory. Returns [F, 3, 4] Tcw."""
+    loop-closure trajectory. Returns [F, 3, 4] Tcw.
+
+    helix > 0 descends the camera by `helix` meters per lap (keep
+    laps*helix well under make_corridor's half_h): each lap then maps
+    FRESH viewpoints adjacent to the previous lap's ring instead of
+    re-localizing in an already-consistent map — drift re-accumulates
+    every lap and the loop machinery must close a loop per revisit (the
+    multi-closure regime of long KITTI circuits), rather than the
+    single-closure-then-done behavior a flat circuit converges to."""
     poses = []
     for i in range(n_frames):
         th = 2.0 * np.pi * laps * i / max(n_frames - 1, 1)
         c, s = np.cos(th), np.sin(th)
-        C = np.array([radius * s, 0.015 * np.sin(th * 5), radius * c])
+        C = np.array([radius * s,
+                      0.015 * np.sin(th * 5) + helix * th / (2.0 * np.pi),
+                      radius * c])
         z_cam = np.array([c, 0.0, -s])          # tangent (direction of travel)
         y_cam = np.array([0.0, 1.0, 0.0])
         x_cam = np.cross(y_cam, z_cam)

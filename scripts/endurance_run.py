@@ -39,6 +39,10 @@ def main():
                     help="force the CPU backend (fast compiles, for CI)")
     ap.add_argument("--noise", type=float, default=2.5)
     ap.add_argument("--radius", type=float, default=8.0)
+    ap.add_argument("--helix", type=float, default=0.0,
+                    help="camera descent per lap (m): each lap maps fresh "
+                         "viewpoints, re-accumulating drift -> one closure "
+                         "per revisit instead of one total")
     ap.add_argument("--min-loops", type=int, default=0,
                     help="exit non-zero unless >= N explicit closures fired")
     args = ap.parse_args()
@@ -59,7 +63,8 @@ def main():
 
     N = args.frames
     scene = synth.make_corridor(seed=3)
-    gt = synth.corridor_trajectory(N, radius=args.radius, laps=args.laps)
+    gt = synth.corridor_trajectory(N, radius=args.radius, laps=args.laps,
+                                   helix=args.helix)
     sensor = {"mono": Sensor.MONOCULAR, "rgbd": Sensor.RGBD,
               "stereo": Sensor.STEREO}[args.sensor]
     cfg = with_camera(
