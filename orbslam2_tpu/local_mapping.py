@@ -398,6 +398,7 @@ class LocalMapper:
                 w = self.map.covisibility_weights(kf)
                 if w.max() > 0:
                     self.map.kf_parent[kf] = int(np.argmax(w))
+        t0a = _t()
         leaves = list(bow_dev) if bow_dev is not None else []
         for b in buckets:
             leaves.extend(b[2:])
@@ -407,6 +408,7 @@ class LocalMapper:
                 bow_host = (next(got), next(got), next(got))
             buckets = [(fp, vm, next(got), next(got))
                        for fp, vm, _, _ in buckets]
+        t0b = _t()
         with self.map.lock:
             if bow_dev is not None:
                 vec, nodes = bow_owner.frame_bow_finish(*bow_host)
@@ -414,11 +416,20 @@ class LocalMapper:
                 self.kf_db.add(kf, vec)
             elif self.kf_db is not None and self.bow_encode is not None:
                 self.register_keyframe(kf)
+            t0c = _t()
             self._refine_bound_apply(kf, buckets)
+            t0d = _t()
             self.map.refresh_point_stats(
                 np.unique(self.map.kf_pt[kf][self.map.kf_pt[kf] >= 0]))
+            t0e = _t()
             self.cull_recent_points()
         t1 = _t()
+        if timing:
+            print(f"  [mapper-prep kf={kf}: dispatch {1e3*(t0a-t0):.0f} "
+                  f"fetch {1e3*(t0b-t0a):.0f} bow {1e3*(t0c-t0b):.0f} "
+                  f"refine-apply {1e3*(t0d-t0c):.0f} stats "
+                  f"{1e3*(t0e-t0d):.0f} cull {1e3*(t1-t0e):.0f} ms]",
+                  flush=True)
         self.create_new_points(kf)
         t2 = _t()
         self.fuse_neighbors(kf)

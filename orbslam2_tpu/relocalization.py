@@ -35,6 +35,21 @@ class Relocalizer:
         self.db = db
         self.sigma2 = F.sigma2_per_octave(cfg.orb)
         self._key = jax.random.PRNGKey(17)
+        self._dev_voc = None  # device-resident vocabulary tables (lazy)
+
+    def _voc_dev(self):
+        """Device copies of the vocabulary tables, uploaded ONCE.
+
+        jnp.asarray of a host numpy array re-uploads on every call — for
+        the 153k-node vocabulary that was ~12 MB (node_desc + children +
+        word ids) per frame_bow, i.e. ~850 ms of tunnel bandwidth hiding
+        inside every keyframe's prep fetch on a remote-attached runtime.
+        The tables are immutable for the life of the vocabulary."""
+        if self._dev_voc is None:
+            self._dev_voc = (jnp.asarray(self.voc.node_desc),
+                             jnp.asarray(self.voc.node_children),
+                             jnp.asarray(self.voc.node_word))
+        return self._dev_voc
 
     def frame_bow_dispatch(self, desc: np.ndarray, valid: np.ndarray):
         """Async half of frame_bow: start the device word-assignment and
@@ -42,9 +57,9 @@ class Relocalizer:
         callers that batch several round trips (LocalMapper's keyframe
         prep) fetch these together with their other results and feed the
         host arrays to frame_bow_finish."""
+        nd, nc, nw = self._voc_dev()
         return BOW.assign_words(
-            jnp.asarray(self.voc.node_desc), jnp.asarray(self.voc.node_children),
-            jnp.asarray(self.voc.node_word), jnp.asarray(desc),
+            nd, nc, nw, jnp.asarray(desc),
             jnp.asarray(valid), self.voc.levels)
 
     def frame_bow_finish(self, words, wvalid, nodes):
