@@ -274,6 +274,150 @@ def make_corridor(seed=0, width=640, height=480, fx=500.0, fy=500.0,
     return RoomScene(planes, K, width, height)
 
 
+def make_corridor_rings(seed=0, width=640, height=480, fx=500.0, fy=500.0,
+                        outer=16.0, shared=10.0, inner=5.0, half_h=2.0,
+                        door=2.0) -> RoomScene:
+    """TWO nested square corridor rings sharing the wall at |x|,|z| =
+    shared, connected by a doorway in the x=+shared wall at |z| <= door.
+
+    A route lapping ring 1, passing the door, lapping ring 2 and
+    returning contains TWO distinct topological loops — the multi-closure
+    regime of KITTI 00 — whereas a single ring admits exactly one
+    explicit closure (see BASELINE.md round-5 endurance notes)."""
+    rng = np.random.default_rng(seed)
+    K = np.array([[fx, 0, width / 2], [0, fy, height / 2], [0, 0, 1]],
+                 np.float32)
+    planes = []
+    Y = np.array([0.0, 1.0, 0.0])
+    Z = np.array([0.0, 0.0, 1.0])
+    X = np.array([1.0, 0.0, 0.0])
+
+    def wall(o, n, bu, ext_u, sc):
+        planes.append((np.asarray(o, float), np.asarray(n, float),
+                       np.asarray(bu, float), Y, _corner_texture(rng), sc,
+                       (ext_u[0], ext_u[1], -half_h, half_h)))
+
+    # outer ring boundary at +-outer
+    for sgn in (-1.0, 1.0):
+        wall([sgn * outer, 0, 0], [-sgn, 0, 0], Z, (-outer, outer), 45.0)
+        wall([0, 0, sgn * outer], [0, 0, -sgn], X, (-outer, outer), 45.0)
+    # shared box at +-shared (two-sided planes; the ray tracer does not
+    # cull by normal sign). The x=+shared wall carries doorway A (the
+    # outbound transit) and the z=-shared wall doorway B (the return) —
+    # separate doors let both transits run straight without the path
+    # ever doubling back through itself.
+    wall([-shared, 0, 0], [1, 0, 0], Z, (-shared, shared), 60.0)
+    wall([0, 0, shared], [0, 0, -1], X, (-shared, shared), 60.0)
+    wall([0, 0, -shared], [0, 0, 1], X, (-shared, -door), 60.0)
+    wall([0, 0, -shared], [0, 0, 1], X, (door, shared), 60.0)
+    wall([shared, 0, 0], [-1, 0, 0], Z, (-shared, -door), 60.0)
+    wall([shared, 0, 0], [-1, 0, 0], Z, (door, shared), 60.0)
+    # inner box at +-inner
+    for sgn in (-1.0, 1.0):
+        wall([sgn * inner, 0, 0], [sgn, 0, 0], Z, (-inner, inner), 60.0)
+        wall([0, 0, sgn * inner], [0, 0, sgn], X, (-inner, inner), 60.0)
+    # floor and ceiling
+    planes.append((np.array([0.0, half_h, 0.0]), np.array([0.0, -1.0, 0.0]),
+                   X, Z, _corner_texture(rng), 45.0,
+                   (-outer, outer, -outer, outer)))
+    planes.append((np.array([0.0, -half_h, 0.0]), np.array([0.0, 1.0, 0.0]),
+                   X, Z, _corner_texture(rng), 45.0,
+                   (-outer, outer, -outer, outer)))
+    return RoomScene(planes, K, width, height)
+
+
+def waypoint_trajectory(waypoints, n_frames: int, smooth: int = 41,
+                        y_wobble: float = 0.015):
+    """Constant-arc-length resampling of a 3D waypoint polyline with
+    moving-average corner rounding; camera z = direction of travel.
+    Returns [F, 3, 4] Tcw. The smoothing window bounds the angular rate
+    through corners (90-degree turns spread over ~`smooth` frames)."""
+    P = np.asarray(waypoints, np.float64)
+    # drop zero-length segments: duplicated junction waypoints create
+    # repeated arc-length values, which bunch dense samples at the
+    # junction and defeat the corner smoothing exactly where it matters
+    keep = np.concatenate(
+        [[True], np.linalg.norm(np.diff(P, axis=0), axis=1) > 1e-9])
+    P = P[keep]
+    # densify the polyline, then resample at constant arc length
+    seg = np.linalg.norm(np.diff(P, axis=0), axis=1)
+    cum = np.concatenate([[0.0], np.cumsum(seg)])
+    dense_s = np.linspace(0.0, cum[-1], max(n_frames * 4, 4000))
+    D = np.stack([np.interp(dense_s, cum, P[:, k]) for k in range(3)], -1)
+    # moving-average smooth (rounds corners, slows through them)
+    w = max(int(smooth) * 4 | 1, 5)
+    pad = w // 2
+    Dp = np.concatenate([D[:1].repeat(pad, 0), D, D[-1:].repeat(pad, 0)])
+    kern = np.ones(w) / w
+    Ds = np.stack([np.convolve(Dp[:, k], kern, "valid") for k in range(3)], -1)
+    # re-resample the smoothed curve at constant arc length
+    seg2 = np.linalg.norm(np.diff(Ds, axis=0), axis=1)
+    cum2 = np.concatenate([[0.0], np.cumsum(seg2)])
+    s = np.linspace(0.0, cum2[-1], n_frames)
+    C = np.stack([np.interp(s, cum2, Ds[:, k]) for k in range(3)], -1)
+    C[:, 1] += y_wobble * np.sin(np.arange(n_frames) * 0.11)
+    # heading from the tangent
+    T = np.gradient(C, axis=0)
+    T /= np.maximum(np.linalg.norm(T, axis=1, keepdims=True), 1e-9)
+    poses = []
+    up = np.array([0.0, 1.0, 0.0])
+    for i in range(n_frames):
+        z_cam = T[i]
+        x_cam = np.cross(up, z_cam)
+        x_cam /= max(np.linalg.norm(x_cam), 1e-9)
+        y_cam = np.cross(z_cam, x_cam)
+        Rwc = np.stack([x_cam, y_cam, z_cam], axis=1)
+        Rcw = Rwc.T
+        poses.append(np.hstack([Rcw, (-Rcw @ C[i])[:, None]]
+                               ).astype(np.float32))
+    return np.stack(poses)
+
+
+def rings_trajectory(n_frames: int, r1=8.2, r2=15.0, lap1=1.1, lap2=1.25,
+                     tail=0.35):
+    """The two-loop route through make_corridor_rings: lap ring 1 (its
+    revisit closes loop #1), exit the doorway, lap ring 2 (loop #2),
+    return, and finish with a partial ring-1 lap. The revisit overlap of
+    each lap spirals slightly INWARD (r shrinks ~0.5 m over the lap) so
+    the overshoot past the start point crosses the earlier track
+    laterally instead of doubling back through it — no cusp, bounded
+    angular rate. Waypoints on circles around the origin; the door
+    transit runs along +x at z = 0."""
+    def spiral(r0, r1_, th0, th1, n):
+        th = np.linspace(th0, th1, n)
+        r = np.linspace(r0, r1_, n)
+        return np.stack([r * np.sin(th), np.zeros_like(th),
+                         r * np.cos(th)], -1)
+    two_pi = 2.0 * np.pi
+    half_pi = 0.5 * np.pi
+    # Radii must clear the square bands' inscribed-circle limits: a
+    # circle of radius r inside band {w_in < max|x|,|z| < w_out} needs
+    # r/sqrt(2) > w_in. Ring 1 (5..10): r in (7.1, 10) -> 8.2 -> 7.8;
+    # ring 2 (10..16): r in (14.2, 16) -> 15.0 -> 14.6.
+    #
+    # ring 1: `lap1` inward-spiralling laps STARTING 0.2 laps before door
+    # A (door A sits on the +x axis, theta=pi/2) so the revisit overlap
+    # past 1.0 lap ends just SHORT of the door, heading toward it — the
+    # exit chord then continues forward (no reversal). Loop #1 closes
+    # during that overlap.
+    th0 = half_pi - 0.2 * two_pi
+    a = spiral(r1, r1 - 0.4, th0, th0 + lap1 * two_pi, 160)
+    ax, az = a[-1, 0], a[-1, 2]
+    transit_out = np.array([[ax, 0.0, az], [10.2, 0.0, -0.3],
+                            [r2, 0.0, 0.0]])
+    # ring 2: enter at door A, spiral `lap2` laps — the revisit overlap
+    # past 1.0 lap closes loop #2, and the extra quarter-lap delivers the
+    # camera to door B (theta=pi, the -z axis) without reversing
+    b = spiral(r2, r2 - 0.4, half_pi, half_pi + lap2 * two_pi, 220)
+    bx, bz = b[-1, 0], b[-1, 2]
+    r_tail = r1 - 0.4
+    transit_back = np.array([[bx, 0.0, bz], [0.0, 0.0, -r_tail]])
+    # tail: a partial ring-1 lap in the corrected map
+    c = spiral(r_tail, r_tail, np.pi, np.pi + tail * two_pi, 60)
+    pts = np.concatenate([a, transit_out, b, transit_back, c])
+    return waypoint_trajectory(pts, n_frames)
+
+
 def corridor_trajectory(n_frames: int, radius=8.0, laps=1.0, helix=0.0):
     """Circular circuit of `radius` inside the corridor, camera facing its
     direction of travel (tangent): the classic revisit-after-a-lap

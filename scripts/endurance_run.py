@@ -43,6 +43,15 @@ def main():
                     help="camera descent per lap (m): each lap maps fresh "
                          "viewpoints, re-accumulating drift -> one closure "
                          "per revisit instead of one total")
+    ap.add_argument("--scene", default="corridor",
+                    choices=["corridor", "rings"],
+                    help="rings = TWO nested corridor rings joined by "
+                         "doorways (make_corridor_rings): the route laps "
+                         "each ring with a revisit overlap, so the run "
+                         "contains two distinct topological loops and "
+                         "must close BOTH (the KITTI-00 multi-closure "
+                         "regime); --frames/--laps/--radius are ignored "
+                         "except --frames")
     ap.add_argument("--min-loops", type=int, default=0,
                     help="exit non-zero unless >= N explicit closures fired")
     args = ap.parse_args()
@@ -62,9 +71,13 @@ def main():
     from orbslam2_tpu.utils.evaluation import ate_rmse, camera_centers
 
     N = args.frames
-    scene = synth.make_corridor(seed=3)
-    gt = synth.corridor_trajectory(N, radius=args.radius, laps=args.laps,
-                                   helix=args.helix)
+    if args.scene == "rings":
+        scene = synth.make_corridor_rings(seed=3)
+        gt = synth.rings_trajectory(N)
+    else:
+        scene = synth.make_corridor(seed=3)
+        gt = synth.corridor_trajectory(N, radius=args.radius, laps=args.laps,
+                                       helix=args.helix)
     sensor = {"mono": Sensor.MONOCULAR, "rgbd": Sensor.RGBD,
               "stereo": Sensor.STEREO}[args.sensor]
     cfg = with_camera(
